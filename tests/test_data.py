@@ -1,0 +1,142 @@
+"""Data-layer tests: pairing/split determinism, batch shapes, simulator."""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from unet_rir_tpu import data, rooms
+from unet_rir_tpu.data.corpus import Corpus, Sample
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return Corpus.synthetic(n_per_room=8, max_order=3)
+
+
+class TestSimulator:
+    def test_rir_shape_and_energy(self):
+        dims = jnp.array([5.0, 4.0, 3.0])
+        src = jnp.array([1.0, 1.0, 1.5])
+        mic = jnp.array([3.5, 2.5, 1.5])
+        rir = np.asarray(data.simulate_rir(dims, src, mic, jnp.asarray(0.4), max_order=5))
+        assert rir.shape == (9600,)
+        assert np.all(np.isfinite(rir))
+        # Direct path arrives at d/c*fs
+        d = np.linalg.norm(np.array([3.5, 2.5, 1.5]) - np.array([1.0, 1.0, 1.5]))
+        t0 = int(d / 343.0 * 48000)
+        assert np.abs(rir[: max(t0 - 2, 0)]).max() == 0.0
+        assert np.abs(rir[t0 : t0 + 2]).max() > 0
+        # Energy decays over time for a reverberant room
+        early = np.sum(rir[:2400] ** 2)
+        late = np.sum(rir[7200:] ** 2)
+        assert early > late
+
+    def test_longer_rt60_more_tail_energy(self):
+        dims = jnp.array([5.0, 4.0, 3.0])
+        src = jnp.array([1.0, 1.0, 1.5])
+        mic = jnp.array([3.5, 2.5, 1.5])
+        short = np.asarray(data.simulate_rir(dims, src, mic, jnp.asarray(0.2), max_order=6))
+        long_ = np.asarray(data.simulate_rir(dims, src, mic, jnp.asarray(1.2), max_order=6))
+        assert np.sum(long_[4800:] ** 2) > np.sum(short[4800:] ** 2)
+
+    def test_batch(self):
+        b = 4
+        dims = jnp.tile(jnp.array([[5.0, 4.0, 3.0]]), (b, 1))
+        src = jnp.tile(jnp.array([[1.0, 1.0, 1.5]]), (b, 1))
+        mic = jnp.asarray(np.random.default_rng(0).uniform(0.5, 2.5, (b, 3)).astype(np.float32))
+        rirs = data.simulate_rir_batch(dims, src, mic, jnp.full((b,), 0.5), max_order=3)
+        assert rirs.shape == (b, 9600)
+
+
+class TestCorpus:
+    def test_synthetic_shapes(self, corpus):
+        n = len(corpus)
+        assert n == 5 * 8
+        assert corpus.features.shape == (n, 144, 160, 2)
+        assert corpus.embeddings.shape == (n, 16)
+        assert corpus.embeddings.dtype == jnp.int32
+
+    def test_pairing_within_room(self, corpus):
+        """index_in[i] and index_out[i] must belong to the same room."""
+        for a, b in zip(corpus.index_in, corpus.index_out):
+            assert corpus.samples[a].room == corpus.samples[b].room
+
+    def test_pairing_matches_reference_semantics(self, corpus):
+        """Per-room lists shuffled with random.Random(500) in room order."""
+        order = ["HemiAnechoicRoom", "LargeMeetingRoom", "MediumMeetingRoom",
+                 "SmallMeetingRoom", "ShoeBoxRoom"]
+        by_room = {name: [] for name in order}
+        for i, s in enumerate(corpus.samples):
+            if s.room in by_room:
+                by_room[s.room].append(i)
+        expected_out = []
+        for name in order:
+            lst = list(by_room[name])
+            random.Random(500).shuffle(lst)
+            expected_out.extend(lst)
+        assert corpus.index_out == expected_out
+
+    def test_embeddings_match_scalar_path(self, corpus):
+        for i in (0, 7, 23):
+            s = corpus.samples[i]
+            scalar = rooms.ROOMS[s.room].return_embedding(s.characteristics)
+            np.testing.assert_array_equal(np.asarray(corpus.embeddings[i]), scalar)
+
+
+class TestDataGenerator:
+    def test_split_sizes(self, corpus):
+        n = len(corpus.index_in)
+        train = data.DataGenerator(corpus, batch_size=4, partition="train")
+        val = data.DataGenerator(corpus, batch_size=4, partition="val")
+        test = data.DataGenerator(corpus, batch_size=4, partition="test")
+        assert len(train._pairs) == int(0.7 * n)
+        assert len(val._pairs) == int(0.9 * n) - int(0.7 * n)
+        assert len(test._pairs) == n - int(0.9 * n)
+
+    def test_batch_shapes(self, corpus):
+        gen = data.DataGenerator(corpus, batch_size=4, partition="train")
+        spec_in, emb, spec_out = gen[0]
+        assert spec_in.shape == (4, 144, 160, 2)
+        assert emb.shape == (4, 2, 16)
+        assert spec_out.shape == (4, 144, 160, 2)
+        assert emb.dtype == jnp.int32
+
+    def test_deterministic_split(self, corpus):
+        g1 = data.DataGenerator(corpus, batch_size=4, partition="test", shuffle=False)
+        g2 = data.DataGenerator(corpus, batch_size=4, partition="test", shuffle=False)
+        assert g1._pairs == g2._pairs
+
+    def test_emb_stacks_in_and_out(self, corpus):
+        gen = data.DataGenerator(corpus, batch_size=2, partition="train", shuffle=False)
+        idx_in, idx_out = gen.batch_indices(0)
+        _, emb, _ = gen[0]
+        np.testing.assert_array_equal(np.asarray(emb[0, 0]), np.asarray(corpus.embeddings[idx_in[0]]))
+        np.testing.assert_array_equal(np.asarray(emb[0, 1]), np.asarray(corpus.embeddings[idx_out[0]]))
+
+    def test_characteristics(self, corpus):
+        gen = data.DataGenerator(corpus, batch_size=2, partition="test",
+                                 shuffle=False, characteristics=True)
+        out = gen[0]
+        assert len(out) == 4
+        assert out[3].shape == (2, 5, 2)
+
+
+class TestWavIO:
+    def test_roundtrip(self, tmp_path, rng):
+        wav = rng.standard_normal(9600).astype(np.float32) * 0.1
+        p = str(tmp_path / "x.wav")
+        data.write_wav(p, wav)
+        back = data.read_wav(p)
+        np.testing.assert_allclose(back, wav, atol=1e-6)
+
+    def test_resample_and_trim(self, tmp_path, rng):
+        import scipy.io.wavfile
+
+        wav = rng.standard_normal(24000).astype(np.float32) * 0.1
+        p = str(tmp_path / "y.wav")
+        scipy.io.wavfile.write(p, 24000, wav)
+        back = data.read_wav(p)  # 1 s at 24 kHz -> 0.2 s at 48 kHz
+        assert back.shape == (9600,)

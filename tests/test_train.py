@@ -1,0 +1,192 @@
+"""Training-engine tests: loss formulas, gradient steps decrease loss,
+checkpoint save/resume, LR schedules (SURVEY.md §4 implication (c))."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unet_rir_tpu import models, train
+from unet_rir_tpu.train.losses import LossConfig, compute_loss, l2_penalty, phase_cosine_loss
+
+
+B, H, W, C = 2, 144, 160, 2
+
+
+def _batch(rng, b=B):
+    spec_in = jnp.asarray(rng.uniform(0, 1, (b, H, W, C)).astype(np.float32))
+    emb = jnp.asarray(rng.integers(0, 1500, (b, 2, 16)).astype(np.int32))
+    spec_out = jnp.asarray(rng.uniform(0, 1, (b, H, W, C)).astype(np.float32))
+    return spec_in, emb, spec_out
+
+
+class TestLosses:
+    def test_phase_cosine_zero_at_equal(self, rng):
+        p = jnp.asarray(rng.uniform(0, 1, (4, 4)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(phase_cosine_loss(p, p)), 0.0, atol=1e-6)
+
+    def test_phase_cosine_wraps(self):
+        # phase 0.0 and 1.0 normalized are both -pi (wrapped) -> zero loss
+        a = jnp.zeros((2, 2))
+        b = jnp.ones((2, 2))
+        np.testing.assert_allclose(np.asarray(phase_cosine_loss(a, b)), 0.0, atol=1e-5)
+
+    def test_phase_cosine_max_at_pi(self):
+        a = jnp.zeros((2, 2))
+        b = jnp.full((2, 2), 0.5)  # difference of pi radians
+        np.testing.assert_allclose(np.asarray(phase_cosine_loss(a, b)), 2.0, atol=1e-5)
+
+    def test_blend_matches_reference_formula(self, rng):
+        spec_in, _, spec_out = _batch(rng)
+        pred = jnp.asarray(rng.uniform(0, 1, (B, H, W, C)).astype(np.float32))
+        cfg = LossConfig(alpha=0.9)
+        loss, metrics = compute_loss(cfg, spec_in, spec_out, pred)
+        # Reference: per-pixel blend / (H*W*C), summed, / global_batch
+        amp_err = np.square(np.asarray(spec_out[..., 0]) - np.asarray(pred[..., 0]))
+        t = np.asarray(spec_out[..., 1]) * 2 * math.pi - math.pi
+        p = np.asarray(pred[..., 1]) * 2 * math.pi - math.pi
+        d = (t - p + math.pi) % (2 * math.pi) - math.pi
+        ph_err = 1 - np.cos(d)
+        expected = (0.9 * amp_err + 0.1 * ph_err).sum() / (H * W * C) / B
+        np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+
+    def test_sigmoid_mask_downweights_late_frames(self, rng):
+        spec_in, _, spec_out = _batch(rng)
+        pred = jnp.asarray(rng.uniform(0, 1, (B, H, W, C)).astype(np.float32))
+        base = compute_loss(LossConfig(alpha=0.0), spec_in, spec_out, pred)[0]
+        masked = compute_loss(LossConfig(alpha=0.0, sigmoid_loss=True), spec_in, spec_out, pred)[0]
+        assert float(masked) < float(base)
+
+    def test_diff_loss_uses_input_phase(self, rng):
+        spec_in, _, spec_out = _batch(rng)
+        # pred phase == normalized (out - in) phase diff -> zero phase loss
+        diff = spec_out[..., 1] - spec_in[..., 1]
+        pred = jnp.stack([spec_out[..., 0], diff], axis=-1)
+        loss, m = compute_loss(LossConfig(alpha=0.0, diff_loss=True), spec_in, spec_out, pred)
+        np.testing.assert_allclose(float(loss), 0.0, atol=1e-4)
+
+    def test_l2_penalty_selects_patterns(self):
+        params = {
+            "reg_down_0": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))},
+            "other": {"kernel": jnp.ones((3, 3))},
+        }
+        pen = l2_penalty(params, ("reg_",))
+        np.testing.assert_allclose(float(pen), 0.001 * 4.0, rtol=1e-6)
+
+    def test_kl(self):
+        mean = jnp.zeros((2, 8))
+        log_var = jnp.zeros((2, 8))
+        kl = train.kl_divergence(mean, log_var)
+        np.testing.assert_allclose(np.asarray(kl), 0.0, atol=1e-6)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, rng):
+        model = models.UNet(number_filters_0=4)
+        batch = _batch(rng)
+        variables = train.init_model(model, batch)
+        opt = train.build_optimizer("adam", 1e-3)
+        step = train.make_train_step(model, opt, LossConfig())
+        state = train.TrainState.create(variables, opt)
+        losses = []
+        for i in range(8):
+            state, metrics = step(state, batch, jax.random.key(i), 1e-3)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0], losses
+
+    def test_eval_step_runs(self, rng):
+        model = models.UNet(number_filters_0=4)
+        batch = _batch(rng)
+        variables = train.init_model(model, batch)
+        opt = train.build_optimizer("adam", 1e-3)
+        state = train.TrainState.create(variables, opt)
+        metrics = train.make_eval_step(model, LossConfig())(state, batch)
+        assert "loss" in metrics and np.isfinite(float(metrics["loss"]))
+
+    @pytest.mark.parametrize("opt_name", ["adam", "nadam", "sgd", "lamb"])
+    def test_optimizers(self, rng, opt_name):
+        model = models.UNet(number_filters_0=4)
+        batch = _batch(rng)
+        variables = train.init_model(model, batch)
+        opt = train.build_optimizer(opt_name, 1e-3)
+        step = train.make_train_step(model, opt, LossConfig())
+        state = train.TrainState.create(variables, opt)
+        state, metrics = step(state, batch, jax.random.key(0), 1e-3)
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestSchedules:
+    def test_pow_decay(self):
+        # main_training.py:344 semantics
+        assert train.epoch_lr(1e-3, 10, 80) == 1e-3
+        assert train.epoch_lr(1e-3, 80, 80) == pytest.approx(1e-3 * 0.9)
+        assert train.epoch_lr(1e-3, 160, 80) == pytest.approx(1e-3 * 0.9**2)
+
+    def test_exp_decay(self):
+        # trainer.py:62 semantics
+        assert train.epoch_lr(1e-3, 81, 80, style="exp") == pytest.approx(1e-3 * math.exp(-0.25))
+
+    def test_no_decay(self):
+        assert train.epoch_lr(1e-3, 100, None) == 1e-3
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, rng, tmp_path):
+        model = models.UNet(number_filters_0=4)
+        batch = _batch(rng)
+        variables = train.init_model(model, batch)
+        opt = train.build_optimizer("adam", 1e-3)
+        step = train.make_train_step(model, opt, LossConfig())
+        state = train.TrainState.create(variables, opt)
+        state, _ = step(state, batch, jax.random.key(0), 1e-3)
+
+        mgr = train.CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(0, state)
+        template = train.TrainState.create(train.init_model(model, batch, seed=9), opt)
+        restored, step_idx = mgr.restore_latest(template)
+        assert step_idx == 0
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+        )
+        mgr.close()
+
+    def test_restore_from_scratch(self, rng, tmp_path):
+        model = models.UNet(number_filters_0=4)
+        batch = _batch(rng)
+        opt = train.build_optimizer("adam", 1e-3)
+        state = train.TrainState.create(train.init_model(model, batch), opt)
+        mgr = train.CheckpointManager(str(tmp_path / "empty"))
+        restored, step_idx = mgr.restore_latest(state)
+        assert step_idx is None
+        mgr.close()
+
+    def test_cadence(self, rng, tmp_path):
+        model = models.UNet(number_filters_0=4)
+        batch = _batch(rng)
+        opt = train.build_optimizer("adam", 1e-3)
+        state = train.TrainState.create(train.init_model(model, batch), opt)
+        mgr = train.CheckpointManager(str(tmp_path / "cad"), save_every=2)
+        assert mgr.maybe_save(0, state) is True
+        assert mgr.maybe_save(1, state) is False
+        assert mgr.maybe_save(2, state) is True
+        mgr.close()
+
+
+class TestCallbacks:
+    def test_early_stopping(self):
+        es = train.EarlyStopping(patience=2)
+        assert not es.update(1.0)
+        assert not es.update(1.1)
+        assert es.update(1.2)
+
+    def test_best_checkpoint(self):
+        saves = []
+        bc = train.BestCheckpoint(lambda: saves.append(1), min_delta=0.01)
+        assert bc.update(1.0)
+        assert not bc.update(0.995)  # within min_delta
+        assert bc.update(0.9)
+        assert len(saves) == 2

@@ -1,0 +1,255 @@
+"""RIR corpus: host-side discovery + device-side featurization (layer L2).
+
+Re-designs the reference Dataset (/root/reference/dataset.py:11-244) for
+TPU throughput:
+
+* Host does only what hosts must: walk
+  ``<dir>/<name>/<Room>/<Zone>/<Array>/*.wav``, parse
+  ``Room_ZoneX_ArrayY_Lk_Mj.wav`` names (dataset.py:146-154), decode wavs.
+* Featurization (STFT -> normalize -> pad) runs **batched on device** via
+  ops.featurize — the reference runs librosa per file on host.
+* The full featurized corpus lives as one (N, 144, 160, 2) HBM array;
+  batching is an index gather, eliminating the Python-per-batch generator
+  the reference bottlenecks on (SURVEY.md §7 hard part 7).
+* Position pairing reproduces the reference semantics exactly: per-room
+  index lists in discovery order; ``index_in`` = concatenation in room
+  order hemi/large/medium/small/shoe; each room list shuffled with
+  random.Random(seed=500); ``index_out`` = concatenation of the shuffled
+  lists (dataset.py:173-182). Anechoic entries get embeddings but are not
+  paired — same as the reference.
+
+A synthetic path (`Corpus.synthetic`) generates the same structure from
+the on-device image-source simulator, so training/eval run end-to-end
+without the (unshippable) measured UTS dataset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random
+import re
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unet_rir_tpu import rooms as rooms_mod
+from unet_rir_tpu.data import simulator, wav_io
+from unet_rir_tpu.ops.features import featurize
+from unet_rir_tpu.ops.stft import N_SAMPLES
+
+SEED = 500  # reference split/pairing seed (dataset.py:76)
+
+# Room order used to build pairing lists (dataset.py:174).
+_PAIRING_ORDER = (
+    "HemiAnechoicRoom",
+    "LargeMeetingRoom",
+    "MediumMeetingRoom",
+    "SmallMeetingRoom",
+    "ShoeBoxRoom",
+)
+
+_DEFAULT_ROOMS = (
+    "HemiAnechoicRoom",
+    "LargeMeetingRoom",
+    "MediumMeetingRoom",
+    "ShoeBoxRoom",
+    "SmallMeetingRoom",
+)
+_DEFAULT_ARRAYS = ("PlanarMicrophoneArray", "CircularMicrophoneArray")
+
+_FNAME_RE = re.compile(
+    r"^(?P<room>[A-Za-z]+)_Zone(?P<zone>[A-E])_(?P<array>[A-Za-z]+)MicrophoneArray_"
+    r"L(?P<l>\d+)_M(?P<m>\d+)\.wav$"
+)
+
+
+@dataclasses.dataclass
+class Sample:
+    room: str
+    zone: str
+    array: str  # 'Planar' | 'Circular'
+    l: int
+    m: int
+
+    @property
+    def characteristics(self) -> list:
+        """[room, zone, array, l, m] as the reference parses them."""
+        return [self.room, self.zone, self.array, str(self.l), str(self.m)]
+
+
+class Corpus:
+    """Featurized RIR corpus resident in device memory.
+
+    Attributes:
+      features: (N, 144, 160, 2) float32 device array.
+      embeddings: (N, 16) int32 device array.
+      samples: list[Sample] metadata (host).
+      index_in / index_out: reference-compatible paired index lists.
+    """
+
+    def __init__(
+        self,
+        features: jnp.ndarray,
+        embeddings: jnp.ndarray,
+        samples: list[Sample],
+        seed: int = SEED,
+    ):
+        self.features = features
+        self.embeddings = embeddings
+        self.samples = samples
+        self.seed = seed
+        self.index_in, self.index_out = self._pair_indices()
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_directory(
+        cls,
+        dir_dataset: str,
+        dataset_name: str = "room_impulse",
+        room: Sequence[str] | None = None,
+        array: Sequence[str] | None = None,
+        seed: int = SEED,
+        feature_chunk: int = 256,
+    ) -> "Corpus":
+        """Walk the measured-dataset layout and featurize on device."""
+        sel_rooms = tuple(room) if room and list(room) != ["All"] else _DEFAULT_ROOMS
+        sel_arrays = tuple(array) if array else _DEFAULT_ARRAYS
+
+        base = os.path.join(dir_dataset, dataset_name)
+        paths, samples = [], []
+        for room_folder in sorted(os.listdir(base)):
+            room_path = os.path.join(base, room_folder)
+            if not os.path.isdir(room_path):
+                continue
+            for zone_folder in sorted(os.listdir(room_path)):
+                zone_path = os.path.join(room_path, zone_folder)
+                if not os.path.isdir(zone_path):
+                    continue
+                for array_folder in sorted(os.listdir(zone_path)):
+                    array_path = os.path.join(zone_path, array_folder)
+                    if not os.path.isdir(array_path):
+                        continue
+                    for fname in sorted(os.listdir(array_path)):
+                        match = _FNAME_RE.match(fname)
+                        if not match:
+                            continue
+                        g = match.groupdict()
+                        full_array = g["array"] + "MicrophoneArray"
+                        if g["room"] not in sel_rooms or full_array not in sel_arrays:
+                            continue
+                        paths.append(os.path.join(array_path, fname))
+                        samples.append(
+                            Sample(g["room"], g["zone"], g["array"], int(g["l"]), int(g["m"]))
+                        )
+
+        wavs = np.stack([wav_io.read_wav(p) for p in paths]) if paths else np.zeros((0, N_SAMPLES), np.float32)
+        features = _featurize_chunked(wavs, feature_chunk)
+        embeddings = _embed_samples(samples)
+        return cls(features, embeddings, samples, seed)
+
+    @classmethod
+    def synthetic(
+        cls,
+        n_per_room: int = 32,
+        room: Sequence[str] | None = None,
+        seed: int = SEED,
+        max_order: int = 6,
+    ) -> "Corpus":
+        """Generate a corpus from the on-device image-source simulator.
+
+        Speaker/mic indices are drawn round-robin over the real grids so
+        embeddings are in-distribution; source/mic geometry comes from the
+        room's shoebox approximation.
+        """
+        sel_rooms = tuple(room) if room and list(room) != ["All"] else _DEFAULT_ROOMS
+        samples: list[Sample] = []
+        dims_l, src_l, mic_l, rt60_l = [], [], [], []
+        zones = "ABCDE"
+        arrays = ("Planar", "Circular")
+        for rname in sel_rooms:
+            spec = rooms_mod.ROOMS[rname]
+            dims_m, rt60_s = simulator.room_to_shoebox(spec)
+            for i in range(n_per_room):
+                zone = zones[i % 5]
+                arr = arrays[(i // 5) % 2]
+                l = 1 + (i * 7) % 30
+                m = 1 + (i * 11) % (64 if arr == "Planar" else 60)
+                samples.append(Sample(rname, zone, arr, l, m))
+                xl, yl, zl = spec.speaker_position(l)
+                xm, ym, zm = spec.mic_position(zone, arr, m)
+                # cm -> m; clamp into the shoebox with a 10 cm margin.
+                src = np.clip(np.array([xl, yl, zl]) / 100.0, 0.1, dims_m - 0.1)
+                mic = np.clip(np.array([xm, ym, zm]) / 100.0, 0.1, dims_m - 0.1)
+                dims_l.append(dims_m)
+                src_l.append(src)
+                mic_l.append(mic)
+                rt60_l.append(rt60_s)
+
+        rirs = simulator.simulate_rir_batch(
+            jnp.asarray(np.stack(dims_l), jnp.float32),
+            jnp.asarray(np.stack(src_l), jnp.float32),
+            jnp.asarray(np.stack(mic_l), jnp.float32),
+            jnp.asarray(np.array(rt60_l), jnp.float32),
+            max_order=max_order,
+        )
+        features = featurize(rirs)
+        embeddings = _embed_samples(samples)
+        return cls(features, embeddings, samples, seed)
+
+    # -- pairing (reference dataset.py:173-182) ------------------------------
+
+    def _pair_indices(self) -> tuple[list[int], list[int]]:
+        by_room: dict[str, list[int]] = {name: [] for name in _PAIRING_ORDER}
+        for i, s in enumerate(self.samples):
+            if s.room in by_room:
+                by_room[s.room].append(i)
+        index_in = [i for name in _PAIRING_ORDER for i in by_room[name]]
+        shuffled = {}
+        for name in _PAIRING_ORDER:
+            lst = list(by_room[name])
+            random.Random(self.seed).shuffle(lst)
+            shuffled[name] = lst
+        index_out = [i for name in _PAIRING_ORDER for i in shuffled[name]]
+        return index_in, index_out
+
+    # -- reference Dataset API parity ---------------------------------------
+
+    def __len__(self) -> int:
+        return int(self.features.shape[0])
+
+    def __getitem__(self, index: int):
+        feat = self.features[index]
+        return feat[..., 0], feat[..., 1], self.embeddings[index]
+
+    def return_characteristics(self):
+        return [s.characteristics for s in self.samples]
+
+
+def _embed_samples(samples: list[Sample]) -> jnp.ndarray:
+    if not samples:
+        return jnp.zeros((0, 16), jnp.int32)
+    room_id = np.array([rooms_mod.ROOM_IDS[s.room] for s in samples])
+    zone_id = np.array(["ABCDE".index(s.zone) for s in samples])
+    array_id = np.array([0 if s.array == "Planar" else 1 for s in samples])
+    l = np.array([s.l for s in samples])
+    m = np.array([s.m for s in samples])
+    return rooms_mod.batched_embeddings(room_id, zone_id, array_id, l, m)
+
+
+def _featurize_chunked(wavs: np.ndarray, chunk: int) -> jnp.ndarray:
+    if wavs.shape[0] == 0:
+        return jnp.zeros((0, 144, 160, 2), jnp.float32)
+    outs = []
+    for i in range(0, wavs.shape[0], chunk):
+        outs.append(featurize(jnp.asarray(wavs[i : i + chunk])))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+# Flat public alias for reference-API parity (`Dataset`).
+Dataset = Corpus
+
+__all__ = ["Corpus", "Dataset", "Sample", "SEED"]

@@ -1,0 +1,85 @@
+"""Model persistence: save_pretrained / load_pretrained.
+
+TPU-native equivalent of the reference per-model persistence
+(u_net.py:120-199: parameters.pkl + weights.h5):
+
+* ``config.json``  — model class name + constructor kwargs (replaces the
+  opaque pickle; human-readable, and fixes the reference's VQVAE.load bug
+  which rebuilt the wrong class, vqvae.py:237).
+* ``weights.npz``  — flattened param pytree (inference-only load).
+
+Full train-state checkpointing (params + opt_state + step) lives in
+train/checkpoint.py (Orbax); this module is the lightweight export path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flatten(tree: Any) -> dict[str, np.ndarray]:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(
+            p.key if hasattr(p, "key") else str(getattr(p, "idx", p)) for p in path
+        )
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def _unflatten(flat: dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(value)
+    return tree
+
+
+def save_pretrained(folder: str, model, variables: dict) -> None:
+    """Write config.json + weights.npz for `model` (a flax Module)."""
+    os.makedirs(folder, exist_ok=True)
+    kwargs = {}
+    for field in type(model).__dataclass_fields__:
+        if field in ("parent", "name"):
+            continue
+        value = getattr(model, field)
+        if hasattr(value, "dtype") or value is jnp.bfloat16 or value is jnp.float32:
+            value = jnp.dtype(value).name if not isinstance(value, str) else value
+        kwargs[field] = value
+    config = {"model_class": type(model).__name__, "kwargs": kwargs}
+    with open(os.path.join(folder, "config.json"), "w") as f:
+        json.dump(config, f, indent=2, default=str)
+    np.savez(os.path.join(folder, "weights.npz"), **_flatten(variables))
+
+
+def load_pretrained(folder: str):
+    """Rebuild (model, variables) from a save_pretrained folder."""
+    from unet_rir_tpu.models.registry import MODEL_CLASSES
+
+    with open(os.path.join(folder, "config.json")) as f:
+        config = json.load(f)
+    cls = MODEL_CLASSES[config["model_class"]]
+    kwargs = dict(config["kwargs"])
+    if "dtype" in kwargs and isinstance(kwargs["dtype"], str):
+        kwargs["dtype"] = jnp.dtype(kwargs["dtype"]).type
+    model = cls(**kwargs)
+    with np.load(os.path.join(folder, "weights.npz")) as data:
+        variables = _unflatten({k: data[k] for k in data.files})
+    return model, variables
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+__all__ = ["save_pretrained", "load_pretrained", "param_count"]

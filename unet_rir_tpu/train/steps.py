@@ -1,0 +1,161 @@
+"""Functional train/eval step factories (jit-compiled, donation-friendly).
+
+One step factory parameterized by the loss family replaces the reference's
+three near-identical trainer step methods (trainer.py:133-144,
+amp_phase_trainer.py:130-141, vae_trainer.py:136-151) and the distributed
+variants (main_training.py:253-332). Parallelism is orthogonal: the same
+step runs single-chip or SPMD over a mesh — callers attach shardings via
+`unet_rir_tpu.parallel` (the TPU-native replacement for
+tf.distribute.MirroredStrategy; gradients all-reduce over ICI by XLA SPMD,
+not explicit NCCL calls).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from unet_rir_tpu.train.losses import LossConfig, compute_loss
+
+
+@flax.struct.dataclass
+class TrainState:
+    """Carried training state: params + BN stats + optimizer state + step."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, variables: dict, optimizer: optax.GradientTransformation):
+        params = variables["params"]
+        return cls(
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def variables(self) -> dict:
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+
+def _apply_model(model, variables, spec_in, emb, *, training, rng, mutable):
+    """Run the model; normalize its output to (pred, aux, mutated_vars)."""
+    kwargs = dict(training=training)
+    if rng is not None:
+        kwargs["rngs"] = {"dropout": rng, "sampling": jax.random.fold_in(rng, 1)}
+    if mutable:
+        out, mut = model.apply(variables, spec_in, emb, mutable=["batch_stats"], **kwargs)
+    else:
+        out, mut = model.apply(variables, spec_in, emb, **kwargs), {}
+    if isinstance(out, tuple):
+        pred, aux = out
+    else:
+        pred, aux = out, {}
+    return pred, aux, mut
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    loss_cfg: LossConfig,
+    l2_patterns: tuple[str, ...] | None = None,
+) -> Callable:
+    """Build a jitted (state, batch, rng, lr) -> (state, metrics) step.
+
+    `batch` = (spec_in, emb, spec_out) — the generator tuple order of the
+    reference's canonical path (datageneratorv2.py:101-102).
+    """
+    patterns = model.L2_PATTERNS if l2_patterns is None else l2_patterns
+    has_bn = True  # mutable batch_stats handled generically
+
+    def loss_fn(params, batch_stats, batch, rng):
+        spec_in, emb, spec_out = batch
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        pred, aux, mut = _apply_model(
+            model, variables, spec_in, emb, training=True, rng=rng,
+            mutable=bool(batch_stats),
+        )
+        loss, metrics = compute_loss(
+            loss_cfg, spec_in, spec_out, pred, aux, params, patterns
+        )
+        return loss, (metrics, mut.get("batch_stats", batch_stats))
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, batch, rng, lr):
+        (loss, (metrics, new_bn)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng
+        )
+        opt_state = state.opt_state
+        if hasattr(opt_state, "hyperparams"):
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                lr, opt_state.hyperparams["learning_rate"].dtype
+            )
+        updates, opt_state = optimizer.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params, batch_stats=new_bn, opt_state=opt_state,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, loss_cfg: LossConfig) -> Callable:
+    """Build a jitted (state, batch) -> metrics validation step.
+
+    Mirrors the reference test_step (main_training.py:293-320). NOTE the
+    reference calls the model with training=True in its test step; we use
+    inference mode (running BN stats, no dropout) — a deliberate divergence
+    recorded per SURVEY.md §7 item 8.
+    """
+
+    def eval_step(state: TrainState, batch):
+        spec_in, emb, spec_out = batch
+        pred, aux, _ = _apply_model(
+            model, state.variables(), spec_in, emb, training=False, rng=None,
+            mutable=False,
+        )
+        _, metrics = compute_loss(loss_cfg, spec_in, spec_out, pred, aux)
+        return metrics
+
+    return jax.jit(eval_step)
+
+
+def make_forward(model) -> Callable:
+    """Jitted inference forward: (variables, spec_in, emb) -> prediction."""
+
+    def forward(variables, spec_in, emb):
+        pred, _, _ = _apply_model(
+            model, variables, spec_in, emb, training=False, rng=None, mutable=False
+        )
+        return pred
+
+    return jax.jit(forward)
+
+
+def init_model(model, sample_batch, seed: int = 0) -> dict:
+    """Initialize model variables from a sample (spec_in, emb, _) batch."""
+    spec_in, emb = sample_batch[0], sample_batch[1]
+    return model.init(
+        {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1),
+         "sampling": jax.random.key(seed + 2)},
+        spec_in, emb, training=False,
+    )
+
+
+__all__ = ["TrainState", "make_train_step", "make_eval_step", "make_forward", "init_model"]

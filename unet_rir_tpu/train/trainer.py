@@ -1,0 +1,156 @@
+"""High-level Trainer: epoch loop, LR schedule, callbacks, checkpointing.
+
+One engine replaces the reference's three copies of the same loop
+(trainer.py:40-130, amp_phase_trainer.py:37-127, vae_trainer.py:39-133)
+and the inline distributed loop (main_training.py:337-393). The loss
+family and the optimizer are injected; parallelism is a sharding choice
+made by the caller (see unet_rir_tpu.parallel), not a separate code path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable
+
+import jax
+import numpy as np
+
+from unet_rir_tpu.train import optimizers as opt_mod
+from unet_rir_tpu.train.callbacks import BestCheckpoint, EarlyStopping, History
+from unet_rir_tpu.train.checkpoint import CheckpointManager
+from unet_rir_tpu.train.losses import LossConfig
+from unet_rir_tpu.train.steps import TrainState, make_eval_step, make_train_step
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """Knob set of the reference entry points (main_training.py:27-50)."""
+
+    n_epochs: int = 500
+    learning_rate: float = 5e-7
+    optimizer: str = "adam"
+    lr_decay_start: int | None = 80  # lr_exp_decay=[True, 80]
+    lr_decay_style: str = "pow"
+    early_stop_patience: int | None = None
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 2
+    checkpoint_keep: int = 2
+    log_every: int = 0  # steps; 0 = epoch-level only
+    seed: int = 0
+
+
+class Trainer:
+    def __init__(self, model, loss_cfg: LossConfig, cfg: TrainerConfig):
+        self.model = model
+        self.loss_cfg = loss_cfg
+        self.cfg = cfg
+        self.optimizer = opt_mod.build_optimizer(cfg.optimizer, cfg.learning_rate)
+        self.train_step = make_train_step(model, self.optimizer, loss_cfg)
+        self.eval_step = make_eval_step(model, loss_cfg)
+        self.history = History()
+
+    def init_state(self, variables: dict) -> TrainState:
+        return TrainState.create(variables, self.optimizer)
+
+    def fit(
+        self,
+        state: TrainState,
+        train_gen,
+        val_gen=None,
+        log_fn: Callable[[str], None] = print,
+    ) -> tuple[TrainState, History]:
+        cfg = self.cfg
+        manager = None
+        start_epoch = 0
+        if cfg.checkpoint_dir:
+            manager = CheckpointManager(
+                cfg.checkpoint_dir, cfg.checkpoint_keep, cfg.checkpoint_every
+            )
+            state, restored = manager.restore_latest(state)
+            if restored is not None:
+                start_epoch = restored + 1
+                log_fn(f"Restored checkpoint at epoch {restored}")
+
+        early = EarlyStopping(cfg.early_stop_patience) if cfg.early_stop_patience else None
+        rng = jax.random.key(cfg.seed)
+
+        for epoch in range(start_epoch, cfg.n_epochs):
+            t0 = time.time()
+            lr = opt_mod.epoch_lr(
+                cfg.learning_rate, epoch, cfg.lr_decay_start, cfg.lr_decay_style
+            )
+
+            train_metrics = _MeanAccumulator()
+            for step_idx in range(len(train_gen)):
+                batch = train_gen[step_idx]
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = self.train_step(state, batch[:3], step_rng, lr)
+                train_metrics.update(metrics)
+                if cfg.log_every and step_idx % cfg.log_every == 0:
+                    log_fn(f"  step {step_idx}/{len(train_gen)}")
+            train_gen.on_epoch_end()
+
+            val_metrics = _MeanAccumulator()
+            if val_gen is not None:
+                for step_idx in range(len(val_gen)):
+                    val_metrics.update(self.eval_step(state, val_gen[step_idx][:3]))
+                val_gen.on_epoch_end()
+
+            tr = train_metrics.result()
+            va = val_metrics.result()
+            epoch_time = time.time() - t0
+            self.history.append(
+                loss=tr.get("loss", np.nan),
+                loss_amplitude=tr.get("loss_amplitude", np.nan),
+                loss_phase=tr.get("loss_phase", np.nan),
+                val_loss=va.get("loss", np.nan),
+                val_loss_amplitude=va.get("loss_amplitude", np.nan),
+                val_loss_phase=va.get("loss_phase", np.nan),
+                lr=lr,
+                epoch_time=epoch_time,
+            )
+            # Epoch print template (main_training.py:378-385).
+            log_fn(
+                f"Epoch {epoch + 1}, Loss: {tr.get('loss', np.nan):.6g}, "
+                f"Epoch time: {epoch_time:.2f}\n"
+                f"Train | MSE Loss: {tr.get('loss_amplitude', np.nan):.6g}, "
+                f"Phase Loss: {tr.get('loss_phase', np.nan):.6g}\n"
+                f"Val   | MSE Loss: {va.get('loss_amplitude', np.nan):.6g}, "
+                f"Phase Loss: {va.get('loss_phase', np.nan):.6g}\n"
+                f"lr    | {lr:.3g}"
+            )
+
+            if manager is not None:
+                manager.maybe_save(epoch, state)
+            if early is not None and va and early.update(va.get("loss", np.inf)):
+                log_fn(f"Early stopping at epoch {epoch + 1}")
+                break
+
+        if manager is not None:
+            manager.close()
+        return state, self.history
+
+
+class _MeanAccumulator:
+    """Running mean over step metric dicts (tf.keras.metrics.Mean equivalent)."""
+
+    def __init__(self):
+        self._sums: dict[str, float] = {}
+        self._count = 0
+
+    def update(self, metrics: dict):
+        self._count += 1
+        for k, v in metrics.items():
+            self._sums[k] = self._sums.get(k, 0.0) + float(v)
+
+    def result(self) -> dict[str, float]:
+        if not self._count:
+            return {}
+        return {k: v / self._count for k, v in self._sums.items()}
+
+    def __bool__(self):
+        return self._count > 0
+
+
+__all__ = ["Trainer", "TrainerConfig", "_MeanAccumulator"]
