@@ -1,0 +1,106 @@
+"""Benchmark: RIRs synthesized per second per chip (flagship U-Net, fused).
+
+Measures the BASELINE.json north-star metric: end-to-end RIR synthesis
+throughput — U-Net forward + denormalize + unpad + iSTFT, fused in one
+jitted XLA program; waveforms never leave HBM during the measurement.
+
+Timing method: the remote-TPU tunnel makes `block_until_ready` unreliable
+and gives every host readback a large fixed latency, so we iterate ON
+DEVICE via `lax.scan` with a data dependency between iterations and do a
+single scalar readback; throughput is derived from the *difference* of two
+iteration counts, cancelling the fixed dispatch/readback latency. (Method
+validated against a 4096^3 bf16 matmul measuring ~180 TFLOP/s on v5e,
+consistent with hardware peak.)
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rirs/sec/chip", "vs_baseline": N}
+
+vs_baseline compares against the CPU reference-pipeline throughput in
+bench_baseline.json (see tools/measure_cpu_baseline.py — UNet forward on
+host CPU + per-sample NumPy unpad/denorm/iSTFT, mirroring the reference's
+host-bound eval loop rir_generation.py:160-308).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_PATH = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+BATCH = 256
+K_SMALL = 4
+K_LARGE = 16
+
+
+def _build(batch: int):
+    import jax
+    import jax.numpy as jnp
+
+    from unet_rir_tpu import models
+    from unet_rir_tpu.ops.features import defeaturize
+    from unet_rir_tpu.train import init_model
+
+    model = models.UNet(dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    spec = jnp.asarray(rng.uniform(0, 1, (batch, 144, 160, 2)).astype(np.float32))
+    emb = jnp.asarray(rng.integers(0, 1500, (batch, 2, 16)).astype(np.int32))
+    variables = init_model(model, (spec, emb))
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def gen_k(variables, spec, emb, k: int):
+        """Run the fused synthesis k times with a carried data dependency."""
+
+        def body(carry, _):
+            pred = model.apply(variables, carry, emb, training=False)
+            wav = defeaturize(pred, algorithm="ph")
+            # Tiny non-zero feedback keeps iterations serially dependent
+            # without measurable extra cost (prevents XLA from collapsing
+            # the loop).
+            carry = carry + wav[:, :1, None, None] * jnp.float32(1e-30)
+            return carry, wav[:, 0]
+
+        carry, outs = jax.lax.scan(body, spec, None, length=k)
+        return outs.sum()
+
+    return variables, spec, emb, gen_k
+
+
+def bench_tpu(batch: int = BATCH) -> float:
+    variables, spec, emb, gen_k = _build(batch)
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        s = float(gen_k(variables, spec, emb, k))
+        assert np.isfinite(s)
+        return time.perf_counter() - t0
+
+    run(K_SMALL)  # compile both variants
+    run(K_LARGE)
+    t_small = min(run(K_SMALL) for _ in range(3))
+    t_large = min(run(K_LARGE) for _ in range(3))
+    per_iter = (t_large - t_small) / (K_LARGE - K_SMALL)
+    return batch / per_iter
+
+
+def main() -> None:
+    value = bench_tpu()
+    vs = None
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            ref = json.load(f).get("cpu_reference_rirs_per_sec")
+        if ref:
+            vs = value / ref
+    print(json.dumps({
+        "metric": "RIR synthesis throughput (U-Net fwd + iSTFT fused, batch %d)" % BATCH,
+        "value": round(value, 2),
+        "unit": "rirs/sec/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Eval-harness tests: metric definitions, generation loop, report schema."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from unet_rir_tpu import eval as eval_mod
+from unet_rir_tpu import models, train
+from unet_rir_tpu.data.corpus import Corpus
+from unet_rir_tpu.postprocess import PostProcess
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return Corpus.synthetic(n_per_room=8, max_order=3)
+
+
+class TestMetrics:
+    def test_spectrogram_metrics_zero_at_identity(self, rng):
+        spec = jnp.asarray(rng.uniform(0, 1, (3, 144, 160, 2)).astype(np.float32))
+        m = eval_mod.spectrogram_metrics(spec, spec)
+        np.testing.assert_allclose(np.asarray(m["mse_spectrogram"]), 0.0, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(m["phase_1mcos"]), 0.0, atol=1e-6)
+        assert np.all(np.asarray(m["misalignment_magnitude_db"]) < -100)
+
+    def test_misalignment_formula(self, rng):
+        t = rng.uniform(0, 1, (1, 144, 160, 2)).astype(np.float32)
+        p = t.copy()
+        p[..., 0] *= 1.1  # 10% amplitude error
+        m = eval_mod.spectrogram_metrics(jnp.asarray(t), jnp.asarray(p))
+        expected = 20 * math.log10(
+            np.linalg.norm(p[..., 0] - t[..., 0]) / np.linalg.norm(t[..., 0])
+        )
+        np.testing.assert_allclose(float(m["misalignment_magnitude_db"][0]), expected, rtol=1e-3)
+
+    def test_waveform_metrics(self, rng):
+        w = rng.standard_normal((2, 9600)).astype(np.float32)
+        m = eval_mod.waveform_metrics(jnp.asarray(w), jnp.asarray(w * 0.5))
+        expected_mse = np.mean((w - 0.5 * w) ** 2, axis=-1)
+        np.testing.assert_allclose(np.asarray(m["mse_waveform"]), expected_mse, rtol=1e-4)
+        # |0.5w - w| / |w| = 0.5 -> -6.02 dB
+        np.testing.assert_allclose(np.asarray(m["misalignment_waveform_db"]), -6.0206, atol=0.01)
+
+    def test_t60_estimate_monotonic(self):
+        fs = 48000
+        t = np.arange(9600) / fs
+        rng = np.random.default_rng(3)
+
+        def decay(t60):
+            return (rng.standard_normal(9600) * np.exp(-6.9078 * t / t60)).astype(np.float32)
+
+        est = eval_mod.t60_estimate(jnp.asarray(np.stack([decay(0.1), decay(0.3)])))
+        e = np.asarray(est)
+        assert e[0] < e[1]
+        assert 0.05 < e[0] < 0.2, e
+
+    def test_lsd_zero_at_identity(self, rng):
+        amp = jnp.asarray(np.abs(rng.standard_normal((2, 129, 151))).astype(np.float32) + 0.01)
+        np.testing.assert_allclose(np.asarray(eval_mod.log_spectral_distance(amp, amp)), 0.0, atol=1e-5)
+
+
+class TestGeneration:
+    def test_assemble_diff(self, rng):
+        spec_in = jnp.asarray(rng.uniform(0, 1, (2, 4, 4, 2)).astype(np.float32))
+        pred = jnp.asarray(rng.uniform(0, 1, (2, 4, 4, 2)).astype(np.float32))
+        out = eval_mod.assemble_prediction(spec_in, pred, True)
+        np.testing.assert_allclose(
+            np.asarray(out[..., 1]), np.asarray(pred[..., 1] + spec_in[..., 1]), rtol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(out[..., 0]), np.asarray(pred[..., 0]))
+        out2 = eval_mod.assemble_prediction(spec_in, pred, False)
+        np.testing.assert_array_equal(np.asarray(out2), np.asarray(pred))
+
+    def test_evaluate_end_to_end(self, corpus, tmp_path):
+        model = models.UNet(number_filters_0=4)
+        sample = (corpus.features[:2], jnp.stack([corpus.embeddings[:2]] * 2, axis=1))
+        variables = train.init_model(model, sample)
+        cfg = eval_mod.EvalConfig(batch_size=2, name="tiny", out_dir=str(tmp_path))
+        result = eval_mod.evaluate(model, variables, corpus, cfg)
+        assert result.n_samples == len(result.rooms) == 4  # 10% of 40 pairs
+        for key in ("mse_spectrogram", "mse_magnitude", "phase_1mcos",
+                    "mse_waveform", "mse_waveform_50ms",
+                    "misalignment_magnitude_db", "misalignment_waveform_db"):
+            assert key in result.per_sample
+            assert np.all(np.isfinite(result.per_sample[key]))
+        rows = result.room_means()
+        assert set(rows) == set(eval_mod.REPORT_ROOMS)
+        assert rows["Global"]["n_samples"] == 4
+
+        folder = eval_mod.write_reports(result, str(tmp_path), "tiny")
+        for suffix in ("_infer_time.csv", "_losses.csv", "_results_inference.txt"):
+            assert os.path.exists(os.path.join(folder, "tiny" + suffix))
+        # CSV schema check
+        import pandas as pd
+
+        losses = pd.read_csv(os.path.join(folder, "tiny_losses.csv"))
+        assert list(losses.columns) == [
+            "room", "n samples", "MSE spectrogram", "MSE magnitude",
+            "1-cos(y-y_) phase", "MSE waveform", "MSE waveform 50ms",
+            "Misalignment magnitude", "Misalignment waveform",
+        ]
+        assert list(losses["room"]) == ["Global", "HemiAnechoic", "Large", "Medium", "Shoe", "Small"]
+        times = pd.read_csv(os.path.join(folder, "tiny_infer_time.csv"))
+        assert list(times.columns) == [
+            "n_samples", "t_model_inference_avg", "batch_size",
+            "t_postprocess", "t_loss_calc", "t_global",
+        ]
+
+    def test_generate_fn_fused(self, corpus):
+        model = models.UNet(number_filters_0=4)
+        spec = corpus.features[:2]
+        emb = jnp.stack([corpus.embeddings[:2]] * 2, axis=1)
+        variables = train.init_model(model, (spec, emb))
+        generate = eval_mod.make_generate_fn(model)
+        assembled, wav = generate(variables, spec, emb)
+        assert assembled.shape == (2, 144, 160, 2)
+        assert wav.shape == (2, 9600)
+        assert np.all(np.isfinite(np.asarray(wav)))
+
+
+class TestPostProcess:
+    def test_roundtrip_file_outputs(self, corpus, tmp_path):
+        pp = PostProcess("m", algorithm="ph", out_dir=str(tmp_path))
+        feature = np.asarray(corpus.features[0])
+        vector = np.asarray(corpus.embeddings[0])
+        wav = pp.post_process(feature, vector)
+        assert wav.shape == (9600,)
+        assert os.path.exists(os.path.join(str(tmp_path), "m_ph", "rir", pp.wav_name + ".wav"))
+        assert os.path.exists(os.path.join(str(tmp_path), "m_ph", "stft", pp.wav_name + ".npy"))
+
+    def test_gl_algorithm(self, corpus, tmp_path):
+        pp = PostProcess("m", algorithm="gl", out_dir=str(tmp_path), save=False)
+        wav = pp.post_process(np.asarray(corpus.features[0]), [1, 2, 3])
+        assert wav.shape == (9600,) and np.all(np.isfinite(wav))

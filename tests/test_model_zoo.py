@@ -1,0 +1,154 @@
+"""Model-zoo breadth tests: every model maps the contract shapes, trains a
+step without NaNs, and respects its head activation (SURVEY.md §4 (b))."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unet_rir_tpu import models, train
+from unet_rir_tpu.train.losses import LossConfig
+
+B, H, W, C = 2, 144, 160, 2
+
+
+def _batch(rng, b=B):
+    spec_in = jnp.asarray(rng.uniform(0, 1, (b, H, W, C)).astype(np.float32))
+    emb = jnp.asarray(rng.integers(0, 1400, (b, 2, 16)).astype(np.int32))
+    spec_out = jnp.asarray(rng.uniform(0, 1, (b, H, W, C)).astype(np.float32))
+    return spec_in, emb, spec_out
+
+
+# (factory kwargs shrunken for test speed, bounded_head, has_aux)
+ZOO = {
+    "unet": (dict(number_filters_0=4), True, False),
+    "diffunet": (dict(number_filters_0=4), False, False),
+    "ae": (dict(conv_filters=(8, 16, 16, 16), n_neurons=64, latent_space_dim=16), True, False),
+    "resae": (dict(conv_filters=(8, 16, 16, 16), n_neurons=64, latent_space_dim=16), True, False),
+    "vae": (dict(conv_filters=(8, 16, 16, 16), n_neurons=64, latent_space_dim=16), True, True),
+    "diffvae": (dict(conv_filters=(8, 16, 16, 16), n_neurons=64, latent_space_dim=16), False, True),
+    "vqvae": (dict(conv_filters=(8, 16, 16, 16), n_neurons=64, latent_space_dim=16), True, True),
+    "aenet": (dict(number_filters_0=4, vector_neurons=64), True, False),
+}
+
+
+@pytest.mark.parametrize("name", list(ZOO))
+def test_zoo_forward_shapes(rng, name):
+    kwargs, bounded, has_aux = ZOO[name]
+    model = models.build_model(name, **kwargs)
+    spec, emb, _ = _batch(rng)
+    variables = train.init_model(model, (spec, emb))
+    out = model.apply(variables, spec, emb, training=False)
+    pred = out[0] if has_aux else out
+    assert pred.shape == (B, H, W, C)
+    assert pred.dtype == jnp.float32
+    if bounded:
+        assert float(jnp.min(pred)) >= 0.0 and float(jnp.max(pred)) <= 1.0
+    if has_aux:
+        assert isinstance(out[1], dict) and out[1]
+
+
+@pytest.mark.parametrize("name", list(ZOO))
+def test_zoo_train_step(rng, name):
+    kwargs, _, has_aux = ZOO[name]
+    model = models.build_model(name, **kwargs)
+    batch = _batch(rng)
+    variables = train.init_model(model, batch)
+    opt = train.build_optimizer("adam", 1e-3)
+    loss_cfg = LossConfig(use_kl="vae" in name and "vq" not in name)
+    step = train.make_train_step(model, opt, loss_cfg)
+    state = train.TrainState.create(variables, opt)
+    state, metrics = step(state, batch, jax.random.key(0), 1e-3)
+    assert np.isfinite(float(metrics["loss"])), name
+    if "vae" in name and "vq" not in name:
+        assert "loss_kl" in metrics
+    if "vq" in name:
+        assert "loss_vq" in metrics
+
+
+def test_vae_encode_decode_split(rng):
+    """vae_trainer.py:140-141 calls encoder/decoder separately."""
+    kwargs, _, _ = ZOO["vae"]
+    model = models.build_model("vae", **kwargs)
+    spec, emb, _ = _batch(rng)
+    variables = train.init_model(model, (spec, emb))
+    z, mu, log_var = model.apply(variables, spec, emb, training=False, method="encode")
+    assert z.shape == (B, 16) and mu.shape == (B, 16) and log_var.shape == (B, 16)
+    recon = model.apply(variables, z, training=False, method="decode")
+    assert recon.shape == (B, H, W, C)
+
+
+def test_vae_sampling_stochastic_in_training(rng):
+    kwargs, _, _ = ZOO["vae"]
+    model = models.build_model("vae", **kwargs)
+    spec, emb, _ = _batch(rng)
+    variables = train.init_model(model, (spec, emb))
+
+    def enc(seed):
+        (z, _, _), _ = model.apply(
+            variables, spec, emb, training=True, method="encode",
+            rngs={"sampling": jax.random.key(seed), "dropout": jax.random.key(0)},
+            mutable=["batch_stats"],
+        )
+        return np.asarray(z)
+
+    assert not np.allclose(enc(1), enc(2))
+    # Deterministic at inference
+    z1, mu, _ = model.apply(variables, spec, emb, training=False, method="encode")
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(mu))
+
+
+def test_vqvae_straight_through_grads(rng):
+    """Encoder must receive gradients through the quantizer (ST estimator)."""
+    kwargs, _, _ = ZOO["vqvae"]
+    model = models.build_model("vqvae", **kwargs)
+    batch = _batch(rng)
+    variables = train.init_model(model, batch)
+
+    def loss_fn(params):
+        out, aux = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch[0], batch[1], training=False,
+        )
+        return jnp.mean(jnp.square(out - batch[2])) + aux["vq_loss"]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    enc_grad = jax.tree_util.tree_leaves(grads["encoder_stack"])[0]
+    assert float(jnp.max(jnp.abs(enc_grad))) > 0.0
+    cb_grad = grads["quantizer"]["embeddings"]
+    assert float(jnp.max(jnp.abs(cb_grad))) > 0.0
+
+
+def test_deep_cnn(rng):
+    model = models.DeepCNN(n_classes=6)
+    spec = jnp.asarray(rng.uniform(0, 1, (B, H, W, C)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        spec, training=False,
+    )
+    logits = model.apply(variables, spec, training=False)
+    assert logits.shape == (B, 6)
+
+
+def test_registry_substring_dispatch():
+    assert isinstance(models.build_model("unet_diff_full", number_filters_0=4), models.UNet)
+    assert isinstance(models.build_model("resae_large_9", conv_filters=(8, 8, 8, 8)), models.ResAE)
+    assert isinstance(models.build_model("vqvae_x", conv_filters=(8, 8, 8, 8)), models.VQVAE)
+    assert isinstance(models.build_model("vae_large_9_sig", conv_filters=(8, 8, 8, 8)), models.VAE)
+
+
+@pytest.mark.parametrize("name", ["ae", "vae", "vqvae"])
+def test_zoo_save_load(rng, name, tmp_path):
+    kwargs, _, has_aux = ZOO[name]
+    model = models.build_model(name, **kwargs)
+    spec, emb, _ = _batch(rng)
+    variables = train.init_model(model, (spec, emb))
+    models.save_pretrained(str(tmp_path / name), model, variables)
+    model2, variables2 = models.load_pretrained(str(tmp_path / name))
+    assert type(model2).__name__ == type(model).__name__
+    out1 = model.apply(variables, spec, emb, training=False)
+    out2 = model2.apply(variables2, spec, emb, training=False)
+    p1 = out1[0] if has_aux else out1
+    p2 = out2[0] if has_aux else out2
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)

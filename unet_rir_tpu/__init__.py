@@ -14,6 +14,8 @@ Public flat names mirror the reference API surface (SURVEY.md §2 note):
 
 from unet_rir_tpu import ops, rooms
 from unet_rir_tpu.rooms import UTSRoom, return_room, ROOMS
+from unet_rir_tpu.data import Corpus, Dataset, DataGenerator
+from unet_rir_tpu.postprocess import PostProcess
 
 __version__ = "0.1.0"
 
@@ -23,4 +25,8 @@ __all__ = [
     "UTSRoom",
     "return_room",
     "ROOMS",
+    "Corpus",
+    "Dataset",
+    "DataGenerator",
+    "PostProcess",
 ]

@@ -1,0 +1,98 @@
+"""Inference + evaluation entry point — the rir_generation.py equivalent.
+
+Restores the latest checkpoint for each requested model, generates the
+full test split (batched, fused forward+postprocess on device), computes
+the metric suite, and writes the reference-schema CSV/txt reports
+(rir_generation.py:43-532). Fixes the reference's IndentationError at
+line 63 and its `algorithm is 'gl'` identity check by construction.
+
+Usage:
+  python -m unet_rir_tpu.cli.generate --models unet --synthetic 64 \
+      --models-folder results --saving-path generated_rir
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+
+from unet_rir_tpu import models
+from unet_rir_tpu.data.corpus import Corpus
+from unet_rir_tpu.eval import EvalConfig, evaluate, write_reports
+from unet_rir_tpu.train import CheckpointManager, LossConfig, TrainState, build_optimizer, init_model
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # Reference knobs (rir_generation.py:45-63).
+    p.add_argument("--models", nargs="+", default=["unet"])
+    p.add_argument("--models-folder", default="results")
+    p.add_argument("--saving-path", default="generated_rir")
+    p.add_argument("--algorithm", choices=["ph", "gl"], default="ph")
+    p.add_argument("--diff-gen", action="store_true")
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--rooms", nargs="*", default=["All"])
+    p.add_argument("--arrays", nargs="*", default=None)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--dataset-name", default="room_impulse")
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--save-wavs", action="store_true")
+    p.add_argument("--bf16", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    if args.synthetic:
+        corpus = Corpus.synthetic(n_per_room=args.synthetic, room=args.rooms)
+    elif args.data_dir:
+        corpus = Corpus.from_directory(args.data_dir, args.dataset_name,
+                                       room=args.rooms, array=args.arrays)
+    else:
+        raise SystemExit("Provide --data-dir or --synthetic N")
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    for name in args.models:
+        print(f"Generating with {name}")
+        model = models.build_model(name, dtype=dtype)
+        sample = (corpus.features[:1], corpus.embeddings[:1][:, None, :].repeat(2, 1))
+        variables = init_model(model, sample)
+
+        ckpt_dir = os.path.join(args.models_folder, name, "ckpt")
+        if os.path.isdir(ckpt_dir):
+            opt = build_optimizer("adam")
+            mgr = CheckpointManager(ckpt_dir)
+            state, step = mgr.restore_latest(TrainState.create(variables, opt))
+            mgr.close()
+            if step is not None:
+                print(f"Restored from {ckpt_dir} (epoch {step})")
+                variables = state.variables()
+            else:
+                print("Initializing from scratch.")
+        else:
+            print("Initializing from scratch.")
+
+        cfg = EvalConfig(
+            algorithm=args.algorithm,
+            diff_gen=args.diff_gen,
+            batch_size=args.batch_size,
+            save_wavs=args.save_wavs,
+            out_dir=args.saving_path,
+            name=name,
+        )
+        result = evaluate(model, variables, corpus, cfg)
+        folder = write_reports(result, args.saving_path, name, args.algorithm)
+        rows = result.room_means()
+        print(f"Reports in {folder}")
+        print(f"  Global MSE spectrogram: {rows['Global']['mse_spectrogram']:.4g}, "
+              f"misalignment wav: {rows['Global']['misalignment_waveform_db']:.4g} dB")
+        print(f"  t_inference/batch: {result.timing['t_model_inference_avg']:.5f}s, "
+              f"t_postprocess/sample: {result.timing['t_postprocess']:.5f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,149 @@
+"""Training entry point — the main_training.py equivalent.
+
+Keeps the reference's knob set (main_training.py:23-60: model name, rooms,
+arrays, alpha, sigmoid/diff loss flags, beta, epochs, lr, per-replica batch
+size, optimizer, lr_exp_decay) as proper CLI flags with identical defaults,
+plus TPU-native additions: mesh shape, bfloat16 compute, and a synthetic
+(image-source simulator) data mode so the pipeline runs without the
+measured UTS corpus.
+
+Usage:
+  python -m unet_rir_tpu.cli.train --name unet --synthetic 64 --epochs 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from unet_rir_tpu import models, parallel
+from unet_rir_tpu.data.corpus import Corpus
+from unet_rir_tpu.data.pipeline import DataGenerator
+from unet_rir_tpu.train import (
+    LossConfig,
+    Trainer,
+    TrainerConfig,
+    init_model,
+    save_hyperparameters,
+)
+
+
+class ShardedGenerator:
+    """Wrap a DataGenerator so every batch lands sharded on the mesh."""
+
+    def __init__(self, gen: DataGenerator, mesh, spatial: bool = False):
+        self.gen = gen
+        self.mesh = mesh
+        self.spatial = spatial
+
+    def __len__(self):
+        return len(self.gen)
+
+    def __getitem__(self, i):
+        return parallel.shard_batch(self.gen[i][:3], self.mesh, self.spatial)
+
+    def on_epoch_end(self):
+        self.gen.on_epoch_end()
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # Reference knobs (defaults = main_training.py:27-50).
+    p.add_argument("--name", default="unet", help="model: unet|ae|resae|vae|...")
+    p.add_argument("--rooms", nargs="*", default=["All"])
+    p.add_argument("--arrays", nargs="*", default=None)
+    p.add_argument("--alpha", type=float, default=0.9)
+    p.add_argument("--sigmoid-loss", action="store_true")
+    p.add_argument("--diff-loss", action="store_true")
+    p.add_argument("--beta", type=float, default=0.5)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--lr", type=float, default=5e-7)
+    p.add_argument("--batch-size", type=int, default=16, help="per data-parallel replica")
+    p.add_argument("--optimizer", default="adam")
+    p.add_argument("--lr-decay-start", type=int, default=80)
+    p.add_argument("--results-dir", default="results")
+    # Data source.
+    p.add_argument("--data-dir", default=None, help="measured corpus root")
+    p.add_argument("--dataset-name", default="room_impulse")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate N RIRs per room with the on-device simulator")
+    # TPU-native knobs.
+    p.add_argument("--mesh-data", type=int, default=None)
+    p.add_argument("--mesh-spatial", type=int, default=1)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
+    p.add_argument("--early-stop", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    parallel.initialize_distributed()
+    mesh = parallel.make_mesh(args.mesh_data, args.mesh_spatial)
+    n_data = mesh.shape["data"]
+    global_batch = args.batch_size * n_data
+    print(f"Devices: {len(jax.devices())}, mesh: {dict(mesh.shape)}, "
+          f"global batch: {global_batch}")
+
+    if args.synthetic:
+        corpus = Corpus.synthetic(n_per_room=args.synthetic, room=args.rooms)
+    elif args.data_dir:
+        corpus = Corpus.from_directory(args.data_dir, args.dataset_name,
+                                       room=args.rooms, array=args.arrays)
+    else:
+        raise SystemExit("Provide --data-dir or --synthetic N")
+    print(f"Corpus: {len(corpus)} RIRs, {len(corpus.index_in)} pairs")
+
+    train_gen = DataGenerator(corpus, batch_size=global_batch, partition="train")
+    val_gen = DataGenerator(corpus, batch_size=global_batch, partition="val")
+    use_mesh = mesh.devices.size > 1
+    if use_mesh:
+        train_gen = ShardedGenerator(train_gen, mesh, args.mesh_spatial > 1)
+        val_gen = ShardedGenerator(val_gen, mesh, args.mesh_spatial > 1)
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = models.build_model(args.name, dtype=dtype)
+    loss_cfg = LossConfig(
+        family="blend",
+        alpha=args.alpha,
+        sigmoid_loss=args.sigmoid_loss,
+        diff_loss=args.diff_loss,
+        beta=args.beta,
+        use_kl="vae" in args.name,
+    )
+    results_dir = os.path.join(args.results_dir, args.name)
+    cfg = TrainerConfig(
+        n_epochs=args.epochs,
+        learning_rate=args.lr,
+        optimizer=args.optimizer,
+        lr_decay_start=args.lr_decay_start,
+        early_stop_patience=args.early_stop,
+        checkpoint_dir=os.path.join(results_dir, "ckpt"),
+        seed=args.seed,
+    )
+    save_hyperparameters(results_dir, **vars(args))
+
+    trainer = Trainer(model, loss_cfg, cfg)
+    sample = train_gen[0]
+    variables = init_model(model, sample, seed=args.seed)
+    state = trainer.init_state(variables)
+    if use_mesh:
+        state = parallel.replicate_state(state, mesh)
+
+    state, history = trainer.fit(state, train_gen, val_gen)
+    history.to_csv(os.path.join(results_dir, f"{args.name}.log"))
+    history.plot(results_dir, args.name)
+    models.save_pretrained(
+        os.path.join(results_dir, "export"), model,
+        {"params": state.params, **({"batch_stats": state.batch_stats} if state.batch_stats else {})},
+    )
+    print(f"Done. Artifacts in {results_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -96,11 +96,16 @@ class Corpus:
         embeddings: jnp.ndarray,
         samples: list[Sample],
         seed: int = SEED,
+        wavs: jnp.ndarray | None = None,
     ):
         self.features = features
         self.embeddings = embeddings
         self.samples = samples
         self.seed = seed
+        # Raw waveforms kept for ground-truth waveform metrics
+        # (the reference reloads them from disk per sample,
+        # rir_generation.py:210-213; we keep them HBM-resident).
+        self.wavs = wavs
         self.index_in, self.index_out = self._pair_indices()
 
     # -- construction ------------------------------------------------------
@@ -147,9 +152,10 @@ class Corpus:
                         )
 
         wavs = np.stack([wav_io.read_wav(p) for p in paths]) if paths else np.zeros((0, N_SAMPLES), np.float32)
+        wavs = wavs - wavs.mean(axis=-1, keepdims=True)  # loader DC removal
         features = _featurize_chunked(wavs, feature_chunk)
         embeddings = _embed_samples(samples)
-        return cls(features, embeddings, samples, seed)
+        return cls(features, embeddings, samples, seed, wavs=jnp.asarray(wavs))
 
     @classmethod
     def synthetic(
@@ -196,9 +202,10 @@ class Corpus:
             jnp.asarray(np.array(rt60_l), jnp.float32),
             max_order=max_order,
         )
+        rirs = rirs - jnp.mean(rirs, axis=-1, keepdims=True)
         features = featurize(rirs)
         embeddings = _embed_samples(samples)
-        return cls(features, embeddings, samples, seed)
+        return cls(features, embeddings, samples, seed, wavs=rirs)
 
     # -- pairing (reference dataset.py:173-182) ------------------------------
 

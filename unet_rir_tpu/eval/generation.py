@@ -1,0 +1,215 @@
+"""Batched RIR generation + evaluation loop (the reference's serve()/eval).
+
+Re-designs rir_generation.py:160-361 TPU-first:
+
+* The reference forwards one batch on device, then post-processes and
+  scores **per sample on host** (its dominant cost, SURVEY.md §3.4). Here
+  forward, diff-phase reassembly, iSTFT/Griffin-Lim vocoding and all
+  metrics run batched on device; the host only aggregates per-room means
+  and (optionally) writes wavs.
+* Phase timing reproduces the reference's three-phase profile
+  (t_model_inference / t_postprocess / t_loss_calc, warm-up batch
+  excluded, rir_generation.py:164-168, 359-361) with
+  `block_until_ready`-bracketed timers.
+* A fused single-jit path (`make_generate_fn`) compiles
+  forward+postprocess into one XLA program — the bench.py hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unet_rir_tpu.data.corpus import Corpus
+from unet_rir_tpu.data.pipeline import DataGenerator
+from unet_rir_tpu.eval import metrics as metrics_mod
+from unet_rir_tpu.ops.features import defeaturize
+from unet_rir_tpu.train.steps import make_forward
+
+# Report row order (rir_generation.py:373).
+REPORT_ROOMS = ("Global", "HemiAnechoic", "Large", "Medium", "Shoe", "Small")
+_ROOM_TO_ROW = {
+    "HemiAnechoicRoom": "HemiAnechoic",
+    "LargeMeetingRoom": "Large",
+    "MediumMeetingRoom": "Medium",
+    "ShoeBoxRoom": "Shoe",
+    "SmallMeetingRoom": "Small",
+}
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    algorithm: str = "ph"  # 'ph' | 'gl'
+    diff_gen: bool = False  # phase = pred + input (rir_generation.py:173-178)
+    batch_size: int = 4
+    save_wavs: bool = False
+    out_dir: str = "generated_rir"
+    name: str = "model"
+
+
+def assemble_prediction(spec_in, spec_pred, diff_gen: bool):
+    """Optionally reassemble diff-phase predictions (pred + input phase)."""
+    if not diff_gen:
+        return spec_pred
+    phase = spec_pred[..., 1] + spec_in[..., 1]
+    return jnp.stack([spec_pred[..., 0], phase], axis=-1)
+
+
+def make_generate_fn(model, algorithm: str = "ph", diff_gen: bool = False):
+    """Fused jit: (variables, spec_in, emb) -> (spec_assembled, wav).
+
+    Forward + diff reassembly + unpad + denorm + iSTFT in one XLA program —
+    predictions never leave HBM until the wav (BASELINE north star).
+    """
+    forward = make_forward(model)
+
+    @jax.jit
+    def generate(variables, spec_in, emb):
+        pred = forward(variables, spec_in, emb)
+        assembled = assemble_prediction(spec_in, pred, diff_gen)
+        wav = defeaturize(assembled, algorithm=algorithm)
+        return assembled, wav
+
+    return generate
+
+
+@dataclasses.dataclass
+class EvalResult:
+    per_sample: dict[str, np.ndarray]  # metric name -> (N,) values
+    rooms: list[str]  # per-sample output-room names
+    timing: dict[str, float]
+    n_samples: int
+    batch_size: int
+
+    def room_means(self) -> dict[str, dict[str, float]]:
+        """{report row -> {metric -> mean}} including the 'Global' row."""
+        rows: dict[str, dict[str, float]] = {}
+        rooms = np.array([_ROOM_TO_ROW.get(r, r) for r in self.rooms])
+        for row in REPORT_ROOMS:
+            sel = np.ones(len(rooms), bool) if row == "Global" else rooms == row
+            rows[row] = {"n_samples": int(sel.sum())}
+            for k, v in self.per_sample.items():
+                rows[row][k] = float(np.mean(v[sel])) if sel.any() else float("nan")
+        return rows
+
+
+def evaluate(
+    model,
+    variables: dict,
+    corpus: Corpus,
+    cfg: EvalConfig,
+    partition: str = "test",
+) -> EvalResult:
+    """Run the full generation + metric harness over a corpus partition."""
+    gen = DataGenerator(corpus, batch_size=cfg.batch_size, partition=partition,
+                        shuffle=False, characteristics=False)
+    forward = make_forward(model)
+    postprocess = jax.jit(
+        functools.partial(_postprocess_and_score, algorithm=cfg.algorithm,
+                          diff_gen=cfg.diff_gen)
+    )
+
+    t_inf, t_post, t_loss = [], [], []
+    per_sample: dict[str, list] = {}
+    rooms: list[str] = []
+    wav_batches: list[np.ndarray] = []
+
+    start = time.time()
+    for i in range(len(gen)):
+        spec_in, emb, spec_out = gen[i]
+        idx_in, idx_out = gen.batch_indices(i)
+        wav_true = jnp.take(corpus.wavs, jnp.asarray(idx_out), axis=0)
+
+        t0 = time.time()
+        pred = forward(variables, spec_in, emb)
+        pred.block_until_ready()
+        t1 = time.time()
+        assembled, wav_pred = _postprocess_only(pred, spec_in, cfg.algorithm, cfg.diff_gen)
+        wav_pred.block_until_ready()
+        t2 = time.time()
+        batch_metrics = _score(assembled, spec_out, wav_pred, wav_true)
+        jax.block_until_ready(batch_metrics)
+        t3 = time.time()
+
+        t_inf.append(t1 - t0)
+        t_post.append(t2 - t1)
+        t_loss.append(t3 - t2)
+
+        for k, v in batch_metrics.items():
+            per_sample.setdefault(k, []).append(np.asarray(v))
+        rooms.extend(corpus.samples[j].room for j in idx_out)
+        if cfg.save_wavs:
+            wav_batches.append(np.asarray(wav_pred))
+    t_global = time.time() - start
+
+    if cfg.save_wavs and wav_batches:
+        _write_wavs(cfg, gen, corpus, np.concatenate(wav_batches))
+
+    n = len(gen) * cfg.batch_size
+    # Warm-up exclusion as in the reference (rir_generation.py:359-361).
+    drop = 1 if len(t_inf) > 1 else 0
+    timing = {
+        "t_model_inference_avg": float(np.mean(t_inf[drop:])),
+        "t_postprocess": float(np.mean(t_post[drop:]) / cfg.batch_size),
+        "t_loss_calc": float(np.mean(t_loss[drop:]) / cfg.batch_size),
+        "t_global": float(t_global),
+    }
+    return EvalResult(
+        per_sample={k: np.concatenate(v) for k, v in per_sample.items()},
+        rooms=rooms,
+        timing=timing,
+        n_samples=n,
+        batch_size=cfg.batch_size,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("algorithm", "diff_gen"))
+def _postprocess_only(pred, spec_in, algorithm, diff_gen):
+    assembled = assemble_prediction(spec_in, pred, diff_gen)
+    return assembled, defeaturize(assembled, algorithm=algorithm)
+
+
+@jax.jit
+def _score(assembled, spec_out, wav_pred, wav_true):
+    out = dict(metrics_mod.spectrogram_metrics(spec_out, assembled))
+    out.update(metrics_mod.waveform_metrics(wav_true, wav_pred))
+    return out
+
+
+def _postprocess_and_score(pred, spec_in, spec_out, wav_true, algorithm, diff_gen):
+    assembled, wav_pred = _postprocess_only(pred, spec_in, algorithm, diff_gen)
+    return _score(assembled, spec_out, wav_pred, wav_true)
+
+
+def _write_wavs(cfg: EvalConfig, gen: DataGenerator, corpus: Corpus, wavs: np.ndarray):
+    """Host-side wav export named by conditioning vector (postprocess.py:135-149)."""
+    from unet_rir_tpu.data.wav_io import write_wav
+
+    folder = os.path.join(cfg.out_dir, f"{cfg.name}_{cfg.algorithm}", "rir")
+    os.makedirs(folder, exist_ok=True)
+    embeddings = np.asarray(corpus.embeddings)
+    k = 0
+    for i in range(len(gen)):
+        _, idx_out = gen.batch_indices(i)
+        for j in idx_out:
+            vec = embeddings[j]
+            name = "RIR" + "".join(f"-{int(v)}" for v in vec)
+            write_wav(os.path.join(folder, name + ".wav"), wavs[k])
+            k += 1
+
+
+__all__ = [
+    "REPORT_ROOMS",
+    "EvalConfig",
+    "EvalResult",
+    "assemble_prediction",
+    "make_generate_fn",
+    "evaluate",
+]

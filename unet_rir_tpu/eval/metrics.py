@@ -1,0 +1,111 @@
+"""Evaluation metric suite — all computed on device, batched.
+
+Exact definitions from the reference harness (rir_generation.py:31-40,
+195-225; BASELINE.md table):
+
+  MSE spectrogram   mean((spec_t - spec_p)^2) over the full (144,160,2)
+  MSE magnitude     mean over the amplitude channel
+  Phase loss        mean(1 - cos(phi_t - phi_p)) on denormalized radians
+  MSE waveform      mean((wav_t - wav_p)^2), full and first 2400 samples
+  Misalignment dB   20*log10(||x_p - x_t||_2 / ||x_t||_2), amp & waveform
+
+The reference computes these per sample on host NumPy; here one jitted call
+evaluates a whole batch on device and returns per-sample vectors so the
+per-room aggregation stays a cheap host reduction.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+FIFTY_MS_SAMPLES = 2400  # 50 ms @ 48 kHz (rir_generation.py:218)
+
+
+@jax.jit
+def spectrogram_metrics(spec_true: jnp.ndarray, spec_pred: jnp.ndarray) -> dict:
+    """Per-sample spectral metrics for (B, H, W, 2) normalized tensors."""
+    amp_t, amp_p = spec_true[..., 0], spec_pred[..., 0]
+    phase_t, phase_p = spec_true[..., 1], spec_pred[..., 1]
+
+    mse_spec = jnp.mean(jnp.square(spec_true - spec_pred), axis=(1, 2, 3))
+    mse_amp = jnp.mean(jnp.square(amp_t - amp_p), axis=(1, 2))
+    t = phase_t * (2 * math.pi) - math.pi
+    p = phase_p * (2 * math.pi) - math.pi
+    pha = jnp.mean(1.0 - jnp.cos(t - p), axis=(1, 2))
+
+    num = jnp.sqrt(jnp.sum(jnp.square(amp_p - amp_t), axis=(1, 2)))
+    den = jnp.sqrt(jnp.sum(jnp.square(amp_t), axis=(1, 2)))
+    missa_amp = 20.0 * jnp.log10(num / den)
+    return {
+        "mse_spectrogram": mse_spec,
+        "mse_magnitude": mse_amp,
+        "phase_1mcos": pha,
+        "misalignment_magnitude_db": missa_amp,
+    }
+
+
+@jax.jit
+def waveform_metrics(wav_true: jnp.ndarray, wav_pred: jnp.ndarray) -> dict:
+    """Per-sample waveform metrics for (B, T) tensors."""
+    mse = jnp.mean(jnp.square(wav_true - wav_pred), axis=-1)
+    mse_50ms = jnp.mean(
+        jnp.square(wav_true[..., :FIFTY_MS_SAMPLES] - wav_pred[..., :FIFTY_MS_SAMPLES]),
+        axis=-1,
+    )
+    num = jnp.linalg.norm(wav_pred - wav_true, axis=-1)
+    den = jnp.linalg.norm(wav_true, axis=-1)
+    missa = 20.0 * jnp.log10(num / den)
+    return {
+        "mse_waveform": mse,
+        "mse_waveform_50ms": mse_50ms,
+        "misalignment_waveform_db": missa,
+    }
+
+
+@jax.jit
+def log_spectral_distance(amp_true: jnp.ndarray, amp_pred: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Per-sample LSD in dB over linear magnitudes (B, F, T) — the
+    north-star parity metric (BASELINE.json)."""
+    lt = 20.0 * jnp.log10(jnp.maximum(amp_true, eps))
+    lp = 20.0 * jnp.log10(jnp.maximum(amp_pred, eps))
+    return jnp.mean(jnp.sqrt(jnp.mean(jnp.square(lt - lp), axis=1)), axis=-1)
+
+
+def t60_estimate(wav: jnp.ndarray, fs: int = 48000) -> jnp.ndarray:
+    """Batch T60 estimate via Schroeder backward integration + T20 fit.
+
+    Used for T60-parity checks between synthesized and true RIRs.
+    wav: (B, T) -> (B,) seconds.
+    """
+    energy = jnp.square(wav)
+    # Schroeder curve: reversed cumulative sum of energy.
+    sch = jnp.cumsum(energy[..., ::-1], axis=-1)[..., ::-1]
+    sch_db = 10.0 * jnp.log10(jnp.maximum(sch / jnp.maximum(sch[..., :1], 1e-20), 1e-20))
+
+    t = jnp.arange(wav.shape[-1]) / fs
+
+    def fit_one(db):
+        # T20: fit between -5 and -25 dB, extrapolate to -60.
+        mask = (db <= -5.0) & (db >= -25.0)
+        w = mask.astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(w), 1.0)
+        tm = jnp.sum(w * t) / n
+        dm = jnp.sum(w * db) / n
+        cov = jnp.sum(w * (t - tm) * (db - dm))
+        var = jnp.maximum(jnp.sum(w * jnp.square(t - tm)), 1e-12)
+        slope = cov / var  # dB per second (negative)
+        return -60.0 / jnp.minimum(slope, -1e-6)
+
+    return jax.vmap(fit_one)(sch_db)
+
+
+__all__ = [
+    "FIFTY_MS_SAMPLES",
+    "spectrogram_metrics",
+    "waveform_metrics",
+    "log_spectral_distance",
+    "t60_estimate",
+]

@@ -1,0 +1,80 @@
+"""AENet — U-Net/AE hybrid with a flattened dense latent.
+
+Capability-parity with the reference AENet (/root/reference/dl_models/
+ae_net.py:197-268): U-Net downs (kernel-2 stage convs) and skip concats,
+but the bottleneck is Flatten(enc5) ⊕ [Embedding(2500,256) -> Flatten ->
+Dense(64*32) -> Dropout(0.5)] -> recover_shape (Dense(prod(H,W,2)) ->
+Dropout(0.5) -> reshape -> 1x1 conv to f0*16), and the output head is a
+6x6 conv with a relu capped at 1 (ae_net.py:249).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from unet_rir_tpu.models.layers import mode_block
+
+
+class AENet(nn.Module):
+    """(B,144,160,2)+(B,2,16)int -> (B,144,160,2) in [0,1] (capped relu)."""
+
+    number_filters_0: int = 32
+    kernels: int = 2
+    mode: int = 0
+    batch_norm: bool = True
+    embed_vocab: int = 2500
+    embed_features: int = 256
+    vector_neurons: int = 64 * 32
+    dtype: Any = jnp.float32
+
+    L2_PATTERNS = ("reg_",)
+
+    @nn.compact
+    def __call__(self, spec, emb, *, training: bool = False):
+        f0 = self.number_filters_0
+        k = (self.kernels, self.kernels)
+        x = spec.astype(self.dtype)
+
+        skips = []
+        factors = (1, 2, 4, 8, 16)
+        for i, factor in enumerate(factors):
+            stride = 1 if i == 0 else 2
+            x = nn.Conv(f0 * factor, k, strides=stride, padding="SAME",
+                        dtype=self.dtype, name=f"reg_down_{i}")(x)
+            x = mode_block(self.mode, f0 * factor, self.batch_norm, self.dtype)(
+                x, training=training)
+            skips.append(x)
+
+        bottleneck = skips.pop()
+        b, bh, bw, _ = bottleneck.shape
+
+        v = nn.Embed(self.embed_vocab, self.embed_features, dtype=self.dtype)(emb)
+        v = v.reshape((b, -1))
+        v = nn.Dense(self.vector_neurons, dtype=self.dtype)(v)
+        v = nn.Dropout(0.5, deterministic=not training)(v)
+
+        latent = jnp.concatenate([bottleneck.reshape((b, -1)), v], axis=-1)
+        # recover_shape (ae_net.py:253-261)
+        x = nn.Dense(bh * bw * 2, dtype=self.dtype)(latent)
+        x = nn.Dropout(0.5, deterministic=not training)(x)
+        x = x.reshape((b, bh, bw, 2))
+        x = nn.Conv(f0 * factors[-1], (1, 1), dtype=self.dtype, name="recover_proj")(x)
+
+        for i, factor in enumerate(reversed(factors[:-1])):
+            x = nn.ConvTranspose(f0 * factor, k, strides=(2, 2), padding="SAME",
+                                 dtype=self.dtype, name=f"reg_up_{i}")(x)
+            x = jnp.concatenate([skips.pop(), x], axis=-1)
+            x = mode_block(0, f0 * factor, self.batch_norm, self.dtype)(
+                x, training=training)
+            x = mode_block(self.mode, f0 * factor, self.batch_norm, self.dtype)(
+                x, training=training)
+
+        out = nn.Conv(2, (6, 6), padding="SAME", dtype=self.dtype, name="head")(x)
+        # relu capped at 1 (ae_net.py:249)
+        return jnp.clip(nn.relu(out.astype(jnp.float32)), 0.0, 1.0)
+
+
+__all__ = ["AENet"]

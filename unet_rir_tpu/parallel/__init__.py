@@ -1,0 +1,25 @@
+"""Parallelism layer: device meshes + SPMD shardings (replaces MirroredStrategy)."""
+
+from unet_rir_tpu.parallel.mesh import (
+    Mesh,
+    NamedSharding,
+    P,
+    batch_sharding,
+    initialize_distributed,
+    make_mesh,
+    replicate_state,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "Mesh",
+    "NamedSharding",
+    "P",
+    "batch_sharding",
+    "initialize_distributed",
+    "make_mesh",
+    "replicate_state",
+    "replicated",
+    "shard_batch",
+]

@@ -1,0 +1,93 @@
+"""Device mesh construction and sharding helpers.
+
+TPU-native replacement of tf.distribute.MirroredStrategy
+(main_training.py:56,114-117,323-332): instead of mirrored variables and
+explicit NCCL reduce ops, we build a `jax.sharding.Mesh`, annotate the
+batch with a NamedSharding, and let XLA SPMD insert ICI collectives
+(grad all-reduce == psum) under one jit-compiled program.
+
+Axes:
+  'data'    — batch-dimension data parallelism (the reference's only mode).
+  'spatial' — optional sharding of the spectrogram width axis; XLA SPMD
+              performs conv halo exchange automatically (SURVEY.md §5.7's
+              idiomatic long-RIR scaling path).
+
+Multi-host: call `initialize_distributed()` first (jax.distributed), then
+the same program runs over all processes; DCN handles inter-slice traffic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: int | None = None,
+    n_spatial: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ('data', 'spatial') mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_spatial
+    if n_data * n_spatial > len(devices):
+        raise ValueError(
+            f"mesh ({n_data} data x {n_spatial} spatial) needs "
+            f"{n_data * n_spatial} devices but only {len(devices)} are "
+            f"visible (set XLA_FLAGS=--xla_force_host_platform_device_count=N "
+            f"for a virtual CPU mesh)"
+        )
+    devices = devices[: n_data * n_spatial]
+    grid = np.array(devices).reshape(n_data, n_spatial)
+    return Mesh(grid, ("data", "spatial"))
+
+
+def batch_sharding(mesh: Mesh, spatial: bool = False) -> tuple:
+    """Shardings for a (spec_in, emb, spec_out) batch tuple."""
+    spec_pspec = P("data", None, "spatial" if spatial else None, None)
+    emb_pspec = P("data", None, None)
+    spec_s = NamedSharding(mesh, spec_pspec)
+    emb_s = NamedSharding(mesh, emb_pspec)
+    return (spec_s, emb_s, spec_s)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: tuple, mesh: Mesh, spatial: bool = False) -> tuple:
+    """Place a host/single-device batch onto the mesh with DP sharding."""
+    shardings = batch_sharding(mesh, spatial)
+    return tuple(jax.device_put(x, s) for x, s in zip(batch, shardings))
+
+
+def replicate_state(state, mesh: Mesh):
+    """Replicate train state (params/opt) across the mesh."""
+    rep = replicated(mesh)
+    return jax.device_put(state, rep)
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host init (jax.distributed.initialize); no-op if single-process."""
+    if jax.process_count() > 1:
+        return
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception:
+        pass  # already initialized or single-host
+
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "replicate_state",
+    "initialize_distributed",
+    "Mesh",
+    "NamedSharding",
+    "P",
+]
