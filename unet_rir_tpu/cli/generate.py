@@ -39,6 +39,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dataset-name", default="room_impulse")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--save-wavs", action="store_true")
+    p.add_argument("--plot-every", type=int, default=0,
+                   help="save 4 diagnostic PNGs every N samples (reference: 640)")
     p.add_argument("--bf16", action="store_true")
     return p
 
@@ -82,6 +84,7 @@ def main(argv=None) -> int:
             save_wavs=args.save_wavs,
             out_dir=args.saving_path,
             name=name,
+            plot_every=args.plot_every,
         )
         result = evaluate(model, variables, corpus, cfg)
         folder = write_reports(result, args.saving_path, name, args.algorithm)

@@ -52,6 +52,7 @@ class EvalConfig:
     save_wavs: bool = False
     out_dir: str = "generated_rir"
     name: str = "model"
+    plot_every: int = 0  # save 4 diagnostic PNGs every N samples (ref: 640)
 
 
 def assemble_prediction(spec_in, spec_pred, diff_gen: bool):
@@ -120,6 +121,7 @@ def evaluate(
     per_sample: dict[str, list] = {}
     rooms: list[str] = []
     wav_batches: list[np.ndarray] = []
+    plot_countdown, plot_count = 0, 0
 
     start = time.time()
     for i in range(len(gen)):
@@ -147,6 +149,15 @@ def evaluate(
         rooms.extend(corpus.samples[j].room for j in idx_out)
         if cfg.save_wavs:
             wav_batches.append(np.asarray(wav_pred))
+        if cfg.plot_every:
+            plot_countdown += len(idx_out)
+            if plot_countdown >= cfg.plot_every:
+                plot_countdown = 0
+                _save_diagnostic_plots(
+                    cfg, plot_count, assembled, spec_out, wav_pred, wav_true,
+                    corpus.samples[idx_out[0]],
+                )
+                plot_count += 1
     t_global = time.time() - start
 
     if cfg.save_wavs and wav_batches:
@@ -186,6 +197,30 @@ def _score(assembled, spec_out, wav_pred, wav_true):
 def _postprocess_and_score(pred, spec_in, spec_out, wav_true, algorithm, diff_gen):
     assembled, wav_pred = _postprocess_only(pred, spec_in, algorithm, diff_gen)
     return _score(assembled, spec_out, wav_pred, wav_true)
+
+
+def _save_diagnostic_plots(cfg: EvalConfig, plot_count: int, assembled,
+                           spec_out, wav_pred, wav_true, sample) -> None:
+    """The four per-interval diagnostic figures (rir_generation.py:295-308)."""
+    from unet_rir_tpu.utils import visualize as viz
+
+    folder = os.path.join(cfg.out_dir, f"{cfg.name}_{cfg.algorithm}", "png")
+    os.makedirs(folder, exist_ok=True)
+    chars = sample.characteristics
+    stft_pred = np.asarray(assembled[0, :, :, 0])
+    stft_true = np.asarray(spec_out[0, :, :, 0])
+    phase_pred = np.asarray(assembled[0, :, :, 1])
+    phase_true = np.asarray(spec_out[0, :, :, 1])
+    wp = np.asarray(wav_pred[0])
+    wt = np.asarray(wav_true[0])
+    viz.plot_feature_vs_wav(stft_pred, wp, cfg.name, chars,
+                            os.path.join(folder, f"spec_vs_wav_{plot_count}.png"))
+    viz.plot_feature_vs_feature_wav(wt, stft_true, stft_pred, cfg.name, chars,
+                                    os.path.join(folder, f"spec_vs_spec_{plot_count}.png"))
+    viz.plot_phase_vs_phase(phase_true, phase_pred, cfg.name, chars,
+                            os.path.join(folder, f"phase_vs_phase_{plot_count}.png"))
+    viz.plot_wav_vs_wav(wt, wp, cfg.name, chars,
+                        os.path.join(folder, f"wav_vs_wav_{plot_count}.png"))
 
 
 def _write_wavs(cfg: EvalConfig, gen: DataGenerator, corpus: Corpus, wavs: np.ndarray):
