@@ -31,7 +31,7 @@ import time
 import numpy as np
 
 BASELINE_PATH = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
-BATCH = 256
+BATCH = 128  # measured sweet spot on v5e (64:7.4k, 128:11.9k, 256:10k, 512:9.4k rirs/s)
 K_SMALL = 4
 K_LARGE = 16
 

