@@ -119,8 +119,15 @@ class Corpus:
         array: Sequence[str] | None = None,
         seed: int = SEED,
         feature_chunk: int = 256,
+        extract: bool = False,
     ) -> "Corpus":
-        """Walk the measured-dataset layout and featurize on device."""
+        """Walk the measured-dataset layout and featurize on device.
+
+        extract=True first unpacks per-array .zip archives in place
+        (reference Dataset.extract_files, dataset.py:93-115).
+        """
+        if extract:
+            extract_zips(os.path.join(dir_dataset, dataset_name))
         sel_rooms = tuple(room) if room and list(room) != ["All"] else _DEFAULT_ROOMS
         sel_arrays = tuple(array) if array else _DEFAULT_ARRAYS
 
@@ -151,8 +158,7 @@ class Corpus:
                             Sample(g["room"], g["zone"], g["array"], int(g["l"]), int(g["m"]))
                         )
 
-        wavs = np.stack([wav_io.read_wav(p) for p in paths]) if paths else np.zeros((0, N_SAMPLES), np.float32)
-        wavs = wavs - wavs.mean(axis=-1, keepdims=True)  # loader DC removal
+        wavs = _decode_paths(paths)
         features = _featurize_chunked(wavs, feature_chunk)
         embeddings = _embed_samples(samples)
         return cls(features, embeddings, samples, seed, wavs=jnp.asarray(wavs))
@@ -234,6 +240,39 @@ class Corpus:
 
     def return_characteristics(self):
         return [s.characteristics for s in self.samples]
+
+
+def extract_zips(dataset_path: str) -> int:
+    """Unpack <Room>/<Zone>/<Array>.zip archives in place; returns count
+    (reference dataset.py:93-115 semantics: extract next to the zip, then
+    delete the archive)."""
+    import zipfile
+
+    n = 0
+    for root, _dirs, files in os.walk(dataset_path):
+        for fname in files:
+            if not fname.endswith(".zip"):
+                continue
+            full = os.path.join(root, fname)
+            with zipfile.ZipFile(full) as zf:
+                zf.extractall(root)
+            os.remove(full)
+            n += 1
+    return n
+
+
+def _decode_paths(paths: list[str]) -> np.ndarray:
+    """Decode wavs to (N, 9600) float32 with DC removed: native C++ batch
+    loader when available (data/native_loader.py), scipy fallback."""
+    if not paths:
+        return np.zeros((0, N_SAMPLES), np.float32)
+    from unet_rir_tpu.data import native_loader
+
+    wavs = native_loader.read_wav_batch(paths)
+    if wavs is None:
+        wavs = np.stack([wav_io.read_wav(p) for p in paths])
+        wavs = wavs - wavs.mean(axis=-1, keepdims=True)
+    return wavs
 
 
 def _embed_samples(samples: list[Sample]) -> jnp.ndarray:
