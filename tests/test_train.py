@@ -190,3 +190,67 @@ class TestCallbacks:
         assert not bc.update(0.995)  # within min_delta
         assert bc.update(0.9)
         assert len(saves) == 2
+
+
+class TestParityUtilities:
+    def test_rmse_coef(self, rng):
+        a = jnp.asarray(rng.standard_normal((4, 5)).astype(np.float32))
+        expected = np.sqrt(np.mean(np.asarray(a) ** 2) + 1e-12)
+        np.testing.assert_allclose(float(train.rmse_coef(a, jnp.zeros_like(a))), expected, rtol=1e-5)
+
+    def test_inverse_time_decay(self):
+        sched = train.inverse_time_decay(1e-3, decay_steps=100, decay_rate=1.0)
+        assert sched(0) == pytest.approx(1e-3)
+        assert sched(100) == pytest.approx(5e-4)
+
+    def test_softmax_cross_entropy(self):
+        logits = jnp.array([[10.0, 0.0], [0.0, 10.0]])
+        labels = jnp.array([0, 1])
+        ce = train.softmax_cross_entropy(logits, labels)
+        assert float(jnp.max(ce)) < 1e-3
+
+    def test_classifier_trains(self, rng):
+        """DeepCNN + softmax CE: loss decreases (cnn_clas capability)."""
+        from unet_rir_tpu import models
+        import optax
+
+        model = models.DeepCNN(n_classes=3, batch_norm=False)
+        spec = jnp.asarray(rng.uniform(0, 1, (6, 144, 160, 2)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 3, (6,)))
+        variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, spec, training=False)
+        params = variables["params"]
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+
+        def loss_fn(p, key):
+            logits = model.apply({"params": p}, spec, training=True, rngs={"dropout": key})
+            return jnp.mean(train.softmax_cross_entropy(logits, labels))
+
+        losses = []
+        for i in range(10):
+            loss, grads = jax.value_and_grad(loss_fn)(params, jax.random.key(i))
+            updates, opt_state = opt.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+
+    def test_trainer_best_export(self, rng, tmp_path):
+        """Best-val save_pretrained fires when val improves (trainer.py:175-205)."""
+        from unet_rir_tpu import models
+        from unet_rir_tpu.data.corpus import Corpus
+        from unet_rir_tpu.data.pipeline import DataGenerator
+        from unet_rir_tpu.train.trainer import Trainer, TrainerConfig
+        import os
+
+        corpus = Corpus.synthetic(n_per_room=6, max_order=2)
+        train_gen = DataGenerator(corpus, batch_size=4, partition="train")
+        val_gen = DataGenerator(corpus, batch_size=4, partition="val")
+        model = models.UNet(number_filters_0=2)
+        cfg = TrainerConfig(n_epochs=2, learning_rate=1e-3, lr_decay_start=None,
+                            best_export_dir=str(tmp_path / "best"))
+        trainer = Trainer(model, train.LossConfig(), cfg)
+        state = trainer.init_state(train.init_model(model, train_gen[0]))
+        trainer.fit(state, train_gen, val_gen, log_fn=lambda s: None)
+        assert os.path.exists(str(tmp_path / "best" / "weights.npz"))
+        m2, v2 = models.load_pretrained(str(tmp_path / "best"))
+        assert isinstance(m2, models.UNet)

@@ -56,6 +56,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--rooms", nargs="*", default=["All"])
     p.add_argument("--arrays", nargs="*", default=None)
     p.add_argument("--alpha", type=float, default=0.9)
+    p.add_argument("--loss-family", default="blend",
+                   choices=["blend", "full_mse", "amp_phase_sum"],
+                   help="blend=main_training.py, full_mse=trainer.py, "
+                        "amp_phase_sum=amp_phase_trainer.py")
     p.add_argument("--sigmoid-loss", action="store_true")
     p.add_argument("--diff-loss", action="store_true")
     p.add_argument("--beta", type=float, default=0.5)
@@ -108,7 +112,7 @@ def main(argv=None) -> int:
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = models.build_model(args.name, dtype=dtype)
     loss_cfg = LossConfig(
-        family="blend",
+        family=args.loss_family,
         alpha=args.alpha,
         sigmoid_loss=args.sigmoid_loss,
         diff_loss=args.diff_loss,
@@ -123,6 +127,7 @@ def main(argv=None) -> int:
         lr_decay_start=args.lr_decay_start,
         early_stop_patience=args.early_stop,
         checkpoint_dir=os.path.join(results_dir, "ckpt"),
+        best_export_dir=os.path.join(results_dir, "best"),
         seed=args.seed,
     )
     save_hyperparameters(results_dir, **vars(args))

@@ -78,8 +78,16 @@ def load_pretrained(folder: str):
     return model, variables
 
 
+def predict_stft(model, variables: dict, inputs):
+    """Reference predict_stft parity (u_net.py:138-146): inputs is the
+    [spectrogram, info_vector] pair; returns the generated STFT feature."""
+    spec, emb = inputs
+    out = model.apply(variables, spec, emb, training=False)
+    return out[0] if isinstance(out, tuple) else out
+
+
 def param_count(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
 
 
-__all__ = ["save_pretrained", "load_pretrained", "param_count"]
+__all__ = ["save_pretrained", "load_pretrained", "param_count", "predict_stft"]

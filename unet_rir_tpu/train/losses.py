@@ -153,8 +153,24 @@ def compute_loss(
     return loss, metrics
 
 
+def rmse_coef(y_true, y_pred):
+    """Flattened RMSE with epsilon (reference trainer.py:302-308)."""
+    diff = jnp.ravel(y_true) - jnp.ravel(y_pred)
+    return jnp.sqrt(jnp.mean(jnp.square(diff)) + 1.0e-12)
+
+
+def softmax_cross_entropy(logits, labels):
+    """Per-example CE for the DeepCNN classifier (cnn_clas.py:55-63)."""
+    logp = jax.nn.log_softmax(logits)
+    if labels.ndim == logits.ndim:  # one-hot
+        return -jnp.sum(labels * logp, axis=-1)
+    return -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+
+
 __all__ = [
     "L2_COEF",
+    "rmse_coef",
+    "softmax_cross_entropy",
     "LossConfig",
     "phase_cosine_loss",
     "amplitude_sq_error",

@@ -58,4 +58,20 @@ def epoch_lr(
     raise ValueError(f"unknown decay style {style!r}")
 
 
-__all__ = ["build_optimizer", "set_learning_rate", "epoch_lr"]
+def inverse_time_decay(lr0: float, decay_steps: int, decay_rate: float = 1.0,
+                       staircase: bool = False) -> optax.Schedule:
+    """Keras InverseTimeDecay parity (u_net.py:100-104):
+    lr(t) = lr0 / (1 + rate * t / decay_steps)."""
+
+    def schedule(count):
+        t = count / decay_steps
+        if staircase:
+            import jax.numpy as jnp
+
+            t = jnp.floor(t)
+        return lr0 / (1.0 + decay_rate * t)
+
+    return schedule
+
+
+__all__ = ["build_optimizer", "set_learning_rate", "epoch_lr", "inverse_time_decay"]

@@ -34,6 +34,8 @@ class TrainerConfig:
     lr_decay_style: str = "pow"
     early_stop_patience: int | None = None
     checkpoint_dir: str | None = None
+    best_export_dir: str | None = None  # best-val save_pretrained (trainer.py:175-205)
+    best_min_delta: float = 0.0
     checkpoint_every: int = 2
     checkpoint_keep: int = 2
     log_every: int = 0  # steps; 0 = epoch-level only
@@ -73,6 +75,20 @@ class Trainer:
                 log_fn(f"Restored checkpoint at epoch {restored}")
 
         early = EarlyStopping(cfg.early_stop_patience) if cfg.early_stop_patience else None
+        best = None
+        if cfg.best_export_dir:
+            from unet_rir_tpu.models.io import save_pretrained
+
+            state_box = {}
+
+            def _save_best():
+                s = state_box["state"]
+                variables = {"params": s.params}
+                if s.batch_stats:
+                    variables["batch_stats"] = s.batch_stats
+                save_pretrained(cfg.best_export_dir, self.model, variables)
+
+            best = BestCheckpoint(_save_best, cfg.best_min_delta)
         rng = jax.random.key(cfg.seed)
 
         for epoch in range(start_epoch, cfg.n_epochs):
@@ -123,6 +139,9 @@ class Trainer:
 
             if manager is not None:
                 manager.maybe_save(epoch, state)
+            if best is not None and va:
+                state_box["state"] = state
+                best.update(va.get("loss", np.inf))
             if early is not None and va and early.update(va.get("loss", np.inf)):
                 log_fn(f"Early stopping at epoch {epoch + 1}")
                 break
