@@ -164,3 +164,26 @@ class TestFeaturize:
         wav = np.asarray(ops.defeaturize(feat, algorithm="gl"))
         assert wav.shape == (ops.N_SAMPLES,)
         assert np.all(np.isfinite(wav))
+
+
+class TestMatmulTransforms:
+    """The matmul-DFT method (TPU MXU path) must match the FFT method."""
+
+    def test_stft_matmul_matches_fft(self, rng):
+        x = jnp.asarray(_rir_like(rng))
+        a = np.asarray(ops.stft(x, method="fft"))
+        b = np.asarray(ops.stft(x, method="matmul"))
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-5)
+
+    def test_istft_matmul_matches_fft(self, rng):
+        x = jnp.asarray(_rir_like(rng))
+        spec = ops.stft(x, method="fft")
+        a = np.asarray(ops.istft(spec, method="fft"))
+        b = np.asarray(ops.istft(spec, method="matmul"))
+        np.testing.assert_allclose(b, a, atol=2e-5)
+
+    def test_griffin_lim_matmul(self, rng):
+        x = _rir_like(rng)
+        amp = jnp.abs(ops.stft(jnp.asarray(x), method="fft"))
+        y = np.asarray(ops.griffin_lim(amp, n_iter=8, method="matmul"))
+        assert np.all(np.isfinite(y)) and y.shape == (ops.N_SAMPLES,)

@@ -59,7 +59,43 @@ def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
     return x[..., idx]
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "win_length", "hop_length", "center", "pad_mode"))
+@functools.lru_cache(maxsize=None)
+def _dft_tables(n_fft: int, win_length: int):
+    """Windowed forward-DFT tables (n_fft, bins): X = f C + i f S.
+
+    Used by the matmul transform path — on TPU a length-256 DFT as two real
+    matmuls runs on the MXU, several times faster than the XLA FFT.
+    """
+    w = _padded_window(n_fft, win_length, np.float64)
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(1 + n_fft // 2)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    c = (w[:, None] * np.cos(ang)).astype(np.float32)
+    s = (-w[:, None] * np.sin(ang)).astype(np.float32)
+    return c, s
+
+
+@functools.lru_cache(maxsize=None)
+def _idft_tables(n_fft: int, win_length: int):
+    """Inverse tables (bins, n_fft) with synthesis window, Hermitian
+    weights and 1/n_fft folded in."""
+    w = _padded_window(n_fft, win_length, np.float64)
+    n_bins = 1 + n_fft // 2
+    k = np.arange(n_bins)[:, None]
+    n = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    weight = np.full((n_bins, 1), 2.0)
+    weight[0] = weight[-1] = 1.0
+    icr = (weight / n_fft * np.cos(ang) * w[None, :]).astype(np.float32)
+    ici = (-weight / n_fft * np.sin(ang) * w[None, :]).astype(np.float32)
+    return icr, ici
+
+
+def _default_method() -> str:
+    return "matmul" if jax.default_backend() == "tpu" else "fft"
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "win_length", "hop_length", "center", "pad_mode", "method"))
 def stft(
     x: jnp.ndarray,
     n_fft: int = N_FFT,
@@ -67,14 +103,27 @@ def stft(
     hop_length: int = HOP_LENGTH,
     center: bool = True,
     pad_mode: str = "reflect",
+    method: str | None = None,
 ) -> jnp.ndarray:
-    """Complex STFT of (..., T) -> (..., 1 + n_fft//2, n_frames)."""
-    window = jnp.asarray(_padded_window(n_fft, win_length))
+    """Complex STFT of (..., T) -> (..., 1 + n_fft//2, n_frames).
+
+    method: 'fft' (XLA FFT), 'matmul' (windowed-DFT matmuls on the MXU),
+    or None = pick per backend.
+    """
+    if method is None:
+        method = _default_method()
     if center:
         pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
         x = jnp.pad(x, pad, mode=pad_mode)
-    frames = frame_signal(x, n_fft, hop_length) * window
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    frames = frame_signal(x, n_fft, hop_length)
+    if method == "matmul":
+        c, s = _dft_tables(n_fft, win_length)
+        hi = jax.lax.Precision.HIGHEST
+        re = jnp.einsum("...fn,nk->...kf", frames, jnp.asarray(c), precision=hi)
+        im = jnp.einsum("...fn,nk->...kf", frames, jnp.asarray(s), precision=hi)
+        return jax.lax.complex(re, im)
+    window = jnp.asarray(_padded_window(n_fft, win_length))
+    spec = jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
     return jnp.swapaxes(spec, -1, -2)
 
 
@@ -127,7 +176,7 @@ def _window_sumsquare(n_frames: int, n_fft: int, win_length: int, hop: int) -> n
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "win_length", "hop_length", "center", "length"))
+@functools.partial(jax.jit, static_argnames=("n_fft", "win_length", "hop_length", "center", "length", "method"))
 def istft(
     spec: jnp.ndarray,
     n_fft: int = N_FFT,
@@ -135,17 +184,28 @@ def istft(
     hop_length: int = HOP_LENGTH,
     center: bool = True,
     length: int | None = None,
+    method: str | None = None,
 ) -> jnp.ndarray:
     """Inverse STFT of (..., bins, n_frames) -> (..., samples).
 
     librosa-compatible: synthesis window = analysis window, normalized by
     the window sum-of-squares envelope where it is numerically non-zero
     (reference postprocess.py:127-129 relies on this path).
+    method: 'fft' | 'matmul' | None (per backend), as in stft().
     """
+    if method is None:
+        method = _default_method()
     n_frames = spec.shape[-1]
-    window = jnp.asarray(_padded_window(n_fft, win_length))
-    frames_td = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
-    frames_td = frames_td * window
+    if method == "matmul":
+        icr, ici = _idft_tables(n_fft, win_length)
+        hi = jax.lax.Precision.HIGHEST
+        frames_td = jnp.einsum(
+            "...kf,kn->...fn", spec.real, jnp.asarray(icr), precision=hi
+        ) + jnp.einsum("...kf,kn->...fn", spec.imag, jnp.asarray(ici), precision=hi)
+    else:
+        window = jnp.asarray(_padded_window(n_fft, win_length))
+        frames_td = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+        frames_td = frames_td * window
     y = _ola_fixed_hop(frames_td, n_fft, hop_length)
 
     wss = _window_sumsquare(n_frames, n_fft, win_length, hop_length)
@@ -162,7 +222,7 @@ def istft(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_iter", "n_fft", "win_length", "hop_length", "momentum", "init"),
+    static_argnames=("n_iter", "n_fft", "win_length", "hop_length", "momentum", "init", "method"),
 )
 def griffin_lim(
     amplitude: jnp.ndarray,
@@ -173,13 +233,16 @@ def griffin_lim(
     momentum: float = 0.99,
     init: Literal["random", "zeros"] = "random",
     key: jax.Array | None = None,
+    method: str | None = None,
 ) -> jnp.ndarray:
     """Griffin-Lim phase reconstruction from magnitude, as a lax.scan.
 
     Device-native equivalent of librosa.griffinlim as used by the reference
-    (postprocess.py:131): fast GL with momentum, 32 iterations.
+    (postprocess.py:131): fast GL with momentum, 32 iterations. On TPU the
+    64 inner transforms run as MXU matmuls (method='matmul').
     """
-    kwargs = dict(n_fft=n_fft, win_length=win_length, hop_length=hop_length)
+    kwargs = dict(n_fft=n_fft, win_length=win_length, hop_length=hop_length,
+                  method=method)
     eps = 1e-16
     if init == "random" :
         if key is None:
