@@ -42,6 +42,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--plot-every", type=int, default=0,
                    help="save 4 diagnostic PNGs every N samples (reference: 640)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--filters", type=int, default=None,
+                   help="override number_filters_0 for UNet-family models")
     return p
 
 
@@ -59,7 +61,10 @@ def main(argv=None) -> int:
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     for name in args.models:
         print(f"Generating with {name}")
-        model = models.build_model(name, dtype=dtype)
+        overrides = {"dtype": dtype}
+        if args.filters:
+            overrides["number_filters_0"] = args.filters
+        model = models.build_model(name, **overrides)
         sample = (corpus.features[:1], corpus.embeddings[:1][:, None, :].repeat(2, 1))
         variables = init_model(model, sample)
 

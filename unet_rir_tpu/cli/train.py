@@ -78,6 +78,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-data", type=int, default=None)
     p.add_argument("--mesh-spatial", type=int, default=1)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
+    p.add_argument("--filters", type=int, default=None,
+                   help="override number_filters_0 for UNet-family models")
     p.add_argument("--early-stop", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -110,7 +112,10 @@ def main(argv=None) -> int:
         val_gen = ShardedGenerator(val_gen, mesh, args.mesh_spatial > 1)
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    model = models.build_model(args.name, dtype=dtype)
+    overrides = {"dtype": dtype}
+    if args.filters:
+        overrides["number_filters_0"] = args.filters
+    model = models.build_model(args.name, **overrides)
     loss_cfg = LossConfig(
         family=args.loss_family,
         alpha=args.alpha,
