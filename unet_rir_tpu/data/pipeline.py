@@ -62,6 +62,18 @@ class DataGenerator:
         if self.shuffle:
             random.shuffle(self._epoch_pairs)
 
+    def epoch_indices(self) -> tuple[np.ndarray, np.ndarray]:
+        """All gather indices for one epoch: two (n_steps, batch) arrays.
+
+        Feeds the fused-epoch lax.scan trainer (train.make_train_epoch);
+        remainder samples are dropped exactly as __len__ does.
+        """
+        n = len(self) * self.batch_size
+        sel = self._epoch_pairs[:n]
+        idx_in = np.array([p[0] for p in sel], np.int32).reshape(len(self), self.batch_size)
+        idx_out = np.array([p[1] for p in sel], np.int32).reshape(len(self), self.batch_size)
+        return idx_in, idx_out
+
     def batch_indices(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
         sel = self._epoch_pairs[idx * self.batch_size : (idx + 1) * self.batch_size]
         idx_in = np.array([p[0] for p in sel], np.int32)

@@ -115,6 +115,97 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_train_epoch(
+    model,
+    optimizer: optax.GradientTransformation,
+    loss_cfg: LossConfig,
+    l2_patterns: tuple[str, ...] | None = None,
+) -> Callable:
+    """Build a jitted FULL-EPOCH step: one dispatch per epoch.
+
+    (state, features, embeddings, idx_in, idx_out, rng, lr) ->
+    (state, mean metrics). `features` (N,H,W,2) / `embeddings` (N,16) are
+    the HBM-resident corpus; idx_* are (n_steps, batch) gather indices.
+    Batches are gathered on device inside a lax.scan over steps — the
+    TPU-native answer to the reference's Python-per-batch generator
+    (SURVEY.md §7 hard part 7): the host is out of the loop entirely.
+    """
+    patterns = model.L2_PATTERNS if l2_patterns is None else l2_patterns
+
+    def loss_fn(params, batch_stats, batch, rng):
+        spec_in, emb, spec_out = batch
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        pred, aux, mut = _apply_model(
+            model, variables, spec_in, emb, training=True, rng=rng,
+            mutable=bool(batch_stats),
+        )
+        loss, metrics = compute_loss(
+            loss_cfg, spec_in, spec_out, pred, aux, params, patterns
+        )
+        return loss, (metrics, mut.get("batch_stats", batch_stats))
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def epoch(state: TrainState, features, embeddings, idx_in, idx_out, rng, lr):
+        def body(carry, idx):
+            st, key = carry
+            i_in, i_out = idx
+            batch = (
+                jnp.take(features, i_in, axis=0),
+                jnp.stack(
+                    [jnp.take(embeddings, i_in, axis=0),
+                     jnp.take(embeddings, i_out, axis=0)], axis=1),
+                jnp.take(features, i_out, axis=0),
+            )
+            key, sub = jax.random.split(key)
+            (_, (metrics, new_bn)), grads = grad_fn(
+                st.params, st.batch_stats, batch, sub
+            )
+            opt_state = st.opt_state
+            if hasattr(opt_state, "hyperparams"):
+                opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                    lr, opt_state.hyperparams["learning_rate"].dtype
+                )
+            updates, opt_state = optimizer.update(grads, opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            st = TrainState(params=params, batch_stats=new_bn,
+                            opt_state=opt_state, step=st.step + 1)
+            return (st, key), metrics
+
+        (state, _), metrics = jax.lax.scan(body, (state, rng), (idx_in, idx_out))
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    return jax.jit(epoch, donate_argnums=(0,))
+
+
+def make_eval_epoch(model, loss_cfg: LossConfig) -> Callable:
+    """Jitted full-epoch validation: one dispatch, mean metrics."""
+
+    def epoch(state: TrainState, features, embeddings, idx_in, idx_out):
+        variables = state.variables()
+
+        def body(_, idx):
+            i_in, i_out = idx
+            spec_in = jnp.take(features, i_in, axis=0)
+            emb = jnp.stack(
+                [jnp.take(embeddings, i_in, axis=0),
+                 jnp.take(embeddings, i_out, axis=0)], axis=1)
+            spec_out = jnp.take(features, i_out, axis=0)
+            pred, aux, _ = _apply_model(
+                model, variables, spec_in, emb, training=False, rng=None,
+                mutable=False,
+            )
+            _, metrics = compute_loss(loss_cfg, spec_in, spec_out, pred, aux)
+            return None, metrics
+
+        _, metrics = jax.lax.scan(body, None, (idx_in, idx_out))
+        return jax.tree.map(jnp.mean, metrics)
+
+    return jax.jit(epoch)
+
+
 def make_eval_step(model, loss_cfg: LossConfig) -> Callable:
     """Build a jitted (state, batch) -> metrics validation step.
 
@@ -158,4 +249,4 @@ def init_model(model, sample_batch, seed: int = 0) -> dict:
     )
 
 
-__all__ = ["TrainState", "make_train_step", "make_eval_step", "make_forward", "init_model"]
+__all__ = ["TrainState", "make_train_step", "make_train_epoch", "make_eval_epoch", "make_eval_step", "make_forward", "init_model"]

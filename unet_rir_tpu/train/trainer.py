@@ -20,7 +20,13 @@ from unet_rir_tpu.train import optimizers as opt_mod
 from unet_rir_tpu.train.callbacks import BestCheckpoint, EarlyStopping, History
 from unet_rir_tpu.train.checkpoint import CheckpointManager
 from unet_rir_tpu.train.losses import LossConfig
-from unet_rir_tpu.train.steps import TrainState, make_eval_step, make_train_step
+from unet_rir_tpu.train.steps import (
+    TrainState,
+    make_eval_epoch,
+    make_eval_step,
+    make_train_epoch,
+    make_train_step,
+)
 
 
 @dataclasses.dataclass
@@ -39,6 +45,7 @@ class TrainerConfig:
     checkpoint_every: int = 2
     checkpoint_keep: int = 2
     log_every: int = 0  # steps; 0 = epoch-level only
+    fused_epochs: bool = True  # lax.scan the whole epoch on device when possible
     seed: int = 0
 
 
@@ -50,6 +57,8 @@ class Trainer:
         self.optimizer = opt_mod.build_optimizer(cfg.optimizer, cfg.learning_rate)
         self.train_step = make_train_step(model, self.optimizer, loss_cfg)
         self.eval_step = make_eval_step(model, loss_cfg)
+        self.train_epoch = make_train_epoch(model, self.optimizer, loss_cfg)
+        self.eval_epoch = make_eval_epoch(model, loss_cfg)
         self.history = History()
 
     def init_state(self, variables: dict) -> TrainState:
@@ -91,30 +100,58 @@ class Trainer:
             best = BestCheckpoint(_save_best, cfg.best_min_delta)
         rng = jax.random.key(cfg.seed)
 
+        # Fused path: whole epoch as one on-device lax.scan (one dispatch),
+        # available when the generator exposes its gather indices and the
+        # corpus is device-resident (plain DataGenerator; sharded wrappers
+        # fall back to the per-step path).
+        fused = cfg.fused_epochs and hasattr(train_gen, "epoch_indices")
+
         for epoch in range(start_epoch, cfg.n_epochs):
             t0 = time.time()
             lr = opt_mod.epoch_lr(
                 cfg.learning_rate, epoch, cfg.lr_decay_start, cfg.lr_decay_style
             )
 
-            train_metrics = _MeanAccumulator()
-            for step_idx in range(len(train_gen)):
-                batch = train_gen[step_idx]
-                rng, step_rng = jax.random.split(rng)
-                state, metrics = self.train_step(state, batch[:3], step_rng, lr)
-                train_metrics.update(metrics)
-                if cfg.log_every and step_idx % cfg.log_every == 0:
-                    log_fn(f"  step {step_idx}/{len(train_gen)}")
-            train_gen.on_epoch_end()
+            if fused:
+                ds = train_gen.dataset
+                idx_in, idx_out = train_gen.epoch_indices()
+                rng, epoch_rng = jax.random.split(rng)
+                state, tr_dev = self.train_epoch(
+                    state, ds.features, ds.embeddings,
+                    jax.numpy.asarray(idx_in), jax.numpy.asarray(idx_out),
+                    epoch_rng, lr,
+                )
+                tr = {k: float(v) for k, v in tr_dev.items()}
+                train_gen.on_epoch_end()
+                va = {}
+                if val_gen is not None and hasattr(val_gen, "epoch_indices"):
+                    v_in, v_out = val_gen.epoch_indices()
+                    vds = val_gen.dataset
+                    va_dev = self.eval_epoch(
+                        state, vds.features, vds.embeddings,
+                        jax.numpy.asarray(v_in), jax.numpy.asarray(v_out),
+                    )
+                    va = {k: float(v) for k, v in va_dev.items()}
+                    val_gen.on_epoch_end()
+            else:
+                train_metrics = _MeanAccumulator()
+                for step_idx in range(len(train_gen)):
+                    batch = train_gen[step_idx]
+                    rng, step_rng = jax.random.split(rng)
+                    state, metrics = self.train_step(state, batch[:3], step_rng, lr)
+                    train_metrics.update(metrics)
+                    if cfg.log_every and step_idx % cfg.log_every == 0:
+                        log_fn(f"  step {step_idx}/{len(train_gen)}")
+                train_gen.on_epoch_end()
 
-            val_metrics = _MeanAccumulator()
-            if val_gen is not None:
-                for step_idx in range(len(val_gen)):
-                    val_metrics.update(self.eval_step(state, val_gen[step_idx][:3]))
-                val_gen.on_epoch_end()
+                val_metrics = _MeanAccumulator()
+                if val_gen is not None:
+                    for step_idx in range(len(val_gen)):
+                        val_metrics.update(self.eval_step(state, val_gen[step_idx][:3]))
+                    val_gen.on_epoch_end()
 
-            tr = train_metrics.result()
-            va = val_metrics.result()
+                tr = train_metrics.result()
+                va = val_metrics.result()
             epoch_time = time.time() - t0
             self.history.append(
                 loss=tr.get("loss", np.nan),
@@ -152,21 +189,27 @@ class Trainer:
 
 
 class _MeanAccumulator:
-    """Running mean over step metric dicts (tf.keras.metrics.Mean equivalent)."""
+    """Running mean over step metric dicts (tf.keras.metrics.Mean equivalent).
+
+    Accumulates device scalars lazily — converting per step would force a
+    blocking host readback per metric per step, which costs more than the
+    step itself on a remote TPU; the single conversion happens in result().
+    """
 
     def __init__(self):
-        self._sums: dict[str, float] = {}
+        self._sums: dict[str, object] = {}
         self._count = 0
 
     def update(self, metrics: dict):
         self._count += 1
         for k, v in metrics.items():
-            self._sums[k] = self._sums.get(k, 0.0) + float(v)
+            prev = self._sums.get(k)
+            self._sums[k] = v if prev is None else prev + v
 
     def result(self) -> dict[str, float]:
         if not self._count:
             return {}
-        return {k: v / self._count for k, v in self._sums.items()}
+        return {k: float(v) / self._count for k, v in self._sums.items()}
 
     def __bool__(self):
         return self._count > 0
