@@ -79,3 +79,39 @@ def test_eval_step_dp(setup):
     mesh = parallel.make_mesh()
     m2 = eval_step(parallel.replicate_state(make_state(), mesh), parallel.shard_batch(batch, mesh))
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+
+
+def test_fused_epoch_dp_matches_single_device(setup):
+    """Fused lax.scan epoch sharded over the mesh == single-device result."""
+    import jax.numpy as jnp
+    from unet_rir_tpu.data.corpus import Corpus
+    from unet_rir_tpu.data.pipeline import DataGenerator
+    from unet_rir_tpu.train.losses import LossConfig
+
+    corpus = Corpus.synthetic(n_per_room=8, max_order=2)
+    gen = DataGenerator(corpus, batch_size=8, partition="train", shuffle=False)
+    idx_in, idx_out = gen.epoch_indices()
+
+    model = models.UNet(number_filters_0=4, batch_norm=False)
+    sample = gen[0]
+    variables = train.init_model(model, sample)
+    opt = train.build_optimizer("adam", 1e-3)
+    epoch_fn = train.make_train_epoch(model, opt, LossConfig())
+
+    def run(shard):
+        state = train.TrainState.create(jax.tree.map(jnp.copy, variables), opt)
+        f, e = corpus.features, corpus.embeddings
+        ii, io = jnp.asarray(idx_in), jnp.asarray(idx_out)
+        if shard:
+            mesh = parallel.make_mesh(n_data=8, n_spatial=1)
+            state = parallel.replicate_state(state, mesh)
+            f, e, ii, io = parallel.shard_epoch_inputs(f, e, ii, io, mesh)
+        s2, metrics = epoch_fn(state, f, e, ii, io, jax.random.key(0), 1e-3)
+        return float(metrics["loss"]), s2
+
+    loss1, s1 = run(False)
+    loss8, s8 = run(True)
+    np.testing.assert_allclose(loss1, loss8, rtol=1e-5)
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p8 = jax.tree_util.tree_leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), rtol=1e-4, atol=1e-6)

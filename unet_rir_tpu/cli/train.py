@@ -32,7 +32,11 @@ from unet_rir_tpu.train import (
 
 
 class ShardedGenerator:
-    """Wrap a DataGenerator so every batch lands sharded on the mesh."""
+    """Wrap a DataGenerator so every batch lands sharded on the mesh.
+
+    Exposes epoch_indices/dataset/mesh so the Trainer's fused lax.scan
+    epoch path can shard the whole epoch too (parallel.shard_epoch_inputs).
+    """
 
     def __init__(self, gen: DataGenerator, mesh, spatial: bool = False):
         self.gen = gen
@@ -44,6 +48,13 @@ class ShardedGenerator:
 
     def __getitem__(self, i):
         return parallel.shard_batch(self.gen[i][:3], self.mesh, self.spatial)
+
+    def epoch_indices(self):
+        return self.gen.epoch_indices()
+
+    @property
+    def dataset(self):
+        return self.gen.dataset
 
     def on_epoch_end(self):
         self.gen.on_epoch_end()

@@ -10,6 +10,7 @@ from unet_rir_tpu.parallel.mesh import (
     replicate_state,
     replicated,
     shard_batch,
+    shard_epoch_inputs,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "replicate_state",
     "replicated",
     "shard_batch",
+    "shard_epoch_inputs",
 ]

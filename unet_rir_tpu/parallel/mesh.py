@@ -70,6 +70,23 @@ def replicate_state(state, mesh: Mesh):
     return jax.device_put(state, rep)
 
 
+def shard_epoch_inputs(features, embeddings, idx_in, idx_out, mesh: Mesh):
+    """Place fused-epoch inputs on the mesh: corpus replicated, the batch
+    axis of the (n_steps, batch) gather indices sharded over 'data'.
+
+    XLA SPMD then shards every per-step gather and the model math follows;
+    gradients all-reduce over ICI exactly as in the per-step DP path.
+    """
+    rep = replicated(mesh)
+    idx_sharding = NamedSharding(mesh, P(None, "data"))
+    return (
+        jax.device_put(features, rep),
+        jax.device_put(embeddings, rep),
+        jax.device_put(idx_in, idx_sharding),
+        jax.device_put(idx_out, idx_sharding),
+    )
+
+
 def initialize_distributed(**kwargs) -> None:
     """Multi-host init (jax.distributed.initialize); no-op if single-process."""
     if jax.process_count() > 1:
@@ -86,6 +103,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "replicate_state",
+    "shard_epoch_inputs",
     "initialize_distributed",
     "Mesh",
     "NamedSharding",

@@ -115,22 +115,34 @@ class Trainer:
             if fused:
                 ds = train_gen.dataset
                 idx_in, idx_out = train_gen.epoch_indices()
+                feats, embs = ds.features, ds.embeddings
+                idx_in = jax.numpy.asarray(idx_in)
+                idx_out = jax.numpy.asarray(idx_out)
+                mesh = getattr(train_gen, "mesh", None)
+                if mesh is not None:
+                    from unet_rir_tpu.parallel import shard_epoch_inputs
+
+                    feats, embs, idx_in, idx_out = shard_epoch_inputs(
+                        feats, embs, idx_in, idx_out, mesh
+                    )
                 rng, epoch_rng = jax.random.split(rng)
                 state, tr_dev = self.train_epoch(
-                    state, ds.features, ds.embeddings,
-                    jax.numpy.asarray(idx_in), jax.numpy.asarray(idx_out),
-                    epoch_rng, lr,
+                    state, feats, embs, idx_in, idx_out, epoch_rng, lr
                 )
                 tr = {k: float(v) for k, v in tr_dev.items()}
                 train_gen.on_epoch_end()
                 va = {}
-                if val_gen is not None and hasattr(val_gen, "epoch_indices"):
+                if val_gen is not None and hasattr(val_gen, "epoch_indices") and len(val_gen) > 0:
                     v_in, v_out = val_gen.epoch_indices()
                     vds = val_gen.dataset
-                    va_dev = self.eval_epoch(
-                        state, vds.features, vds.embeddings,
-                        jax.numpy.asarray(v_in), jax.numpy.asarray(v_out),
-                    )
+                    vf, ve = vds.features, vds.embeddings
+                    v_in = jax.numpy.asarray(v_in)
+                    v_out = jax.numpy.asarray(v_out)
+                    if mesh is not None:
+                        vf, ve, v_in, v_out = shard_epoch_inputs(
+                            vf, ve, v_in, v_out, mesh
+                        )
+                    va_dev = self.eval_epoch(state, vf, ve, v_in, v_out)
                     va = {k: float(v) for k, v in va_dev.items()}
                     val_gen.on_epoch_end()
             else:
