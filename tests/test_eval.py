@@ -136,3 +136,13 @@ class TestPostProcess:
         pp = PostProcess("m", algorithm="gl", out_dir=str(tmp_path), save=False)
         wav = pp.post_process(np.asarray(corpus.features[0]), [1, 2, 3])
         assert wav.shape == (9600,) and np.all(np.isfinite(wav))
+
+
+def test_evaluate_empty_partition_raises(corpus):
+    """Partitions smaller than batch_size fail loudly, not with NaN reports."""
+    model = models.UNet(number_filters_0=4)
+    sample = (corpus.features[:2], jnp.stack([corpus.embeddings[:2]] * 2, axis=1))
+    variables = train.init_model(model, sample)
+    cfg = eval_mod.EvalConfig(batch_size=1000, name="big")
+    with pytest.raises(ValueError, match="fewer than"):
+        eval_mod.evaluate(model, variables, corpus, cfg)

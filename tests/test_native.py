@@ -67,11 +67,18 @@ class TestNativeLoader:
         singles = np.stack([wav_io.Loader().load(p) for p in paths])
         np.testing.assert_allclose(out, singles, atol=1e-6)
 
-    def test_missing_file_zero_filled(self, tmp_path, rng):
+    def test_missing_file_strict_raises(self, tmp_path, rng):
         wav = (rng.standard_normal(9600) * 0.1).astype(np.float32)
         good = _write(tmp_path, "ok.wav", wav)
+        with pytest.raises(IOError, match="1/2 wavs failed"):
+            native_loader.read_wav_batch([good, str(tmp_path / "nope.wav")])
+
+    def test_missing_file_lenient_zero_fills(self, tmp_path, rng):
+        wav = (rng.standard_normal(9600) * 0.1).astype(np.float32)
+        good = _write(tmp_path, "ok2.wav", wav)
         with pytest.warns(UserWarning, match="1/2 wavs failed"):
-            out = native_loader.read_wav_batch([good, str(tmp_path / "nope.wav")])
+            out = native_loader.read_wav_batch(
+                [good, str(tmp_path / "nope.wav")], strict=False)
         assert np.abs(out[1]).max() == 0.0
         assert np.abs(out[0]).max() > 0.0
 

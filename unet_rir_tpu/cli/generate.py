@@ -42,6 +42,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--plot-every", type=int, default=0,
                    help="save 4 diagnostic PNGs every N samples (reference: 640)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--optimizer", default="adam",
+                   help="optimizer the checkpoint was trained with (restore template)")
     p.add_argument("--filters", type=int, default=None,
                    help="override number_filters_0 for UNet-family models")
     return p
@@ -69,16 +71,28 @@ def main(argv=None) -> int:
         variables = init_model(model, sample)
 
         ckpt_dir = os.path.join(args.models_folder, name, "ckpt")
+        best_dir = os.path.join(args.models_folder, name, "best")
         if os.path.isdir(ckpt_dir):
-            opt = build_optimizer("adam")
+            opt = build_optimizer(args.optimizer)
             mgr = CheckpointManager(ckpt_dir)
-            state, step = mgr.restore_latest(TrainState.create(variables, opt))
-            mgr.close()
+            try:
+                state, step = mgr.restore_latest(TrainState.create(variables, opt))
+            except Exception as e:
+                raise SystemExit(
+                    f"Checkpoint restore failed for {ckpt_dir}: {e}\n"
+                    f"If the model was trained with a different optimizer, pass "
+                    f"--optimizer <name> so the restore template matches."
+                )
+            finally:
+                mgr.close()
             if step is not None:
                 print(f"Restored from {ckpt_dir} (epoch {step})")
                 variables = state.variables()
             else:
                 print("Initializing from scratch.")
+        elif os.path.isdir(best_dir):
+            model, variables = models.load_pretrained(best_dir)
+            print(f"Loaded best-val export from {best_dir}")
         else:
             print("Initializing from scratch.")
 

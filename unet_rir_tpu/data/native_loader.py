@@ -76,11 +76,14 @@ def read_wav_batch(
     n_samples: int = N_SAMPLES,
     sample_rate: int = SAMPLE_RATE,
     n_threads: int = 0,
+    strict: bool = True,
 ) -> np.ndarray | None:
     """Parallel-decode paths -> (N, n_samples) float32 (DC-removed).
 
     Returns None when the native library is unavailable (caller falls back
-    to the scipy loader). Rows that fail to decode are zero-filled.
+    to the scipy loader). strict=True (default) raises if any file fails
+    to decode — silently training on zero-filled rows would poison the
+    corpus; strict=False keeps the zero-filled rows with a warning.
     """
     lib = load_library()
     if lib is None or not paths:
@@ -92,9 +95,14 @@ def read_wav_batch(
         n_samples, sample_rate, n_threads,
     )
     if failures:
+        bad = [p for p, row in zip(paths, out) if not row.any()]
+        msg = (f"native loader: {failures}/{len(paths)} wavs failed to decode "
+               f"(first: {bad[:3]})")
+        if strict:
+            raise IOError(msg)
         import warnings
 
-        warnings.warn(f"native loader: {failures}/{len(paths)} wavs failed to decode")
+        warnings.warn(msg)
     return out
 
 

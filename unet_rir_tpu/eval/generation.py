@@ -111,11 +111,12 @@ def evaluate(
     """Run the full generation + metric harness over a corpus partition."""
     gen = DataGenerator(corpus, batch_size=cfg.batch_size, partition=partition,
                         shuffle=False, characteristics=False)
+    if len(gen) == 0:
+        raise ValueError(
+            f"partition {partition!r} has {len(gen._pairs)} samples, fewer than "
+            f"batch_size={cfg.batch_size}; lower --batch-size or enlarge the corpus"
+        )
     forward = make_forward(model)
-    postprocess = jax.jit(
-        functools.partial(_postprocess_and_score, algorithm=cfg.algorithm,
-                          diff_gen=cfg.diff_gen)
-    )
 
     t_inf, t_post, t_loss = [], [], []
     per_sample: dict[str, list] = {}
@@ -192,11 +193,6 @@ def _score(assembled, spec_out, wav_pred, wav_true):
     out = dict(metrics_mod.spectrogram_metrics(spec_out, assembled))
     out.update(metrics_mod.waveform_metrics(wav_true, wav_pred))
     return out
-
-
-def _postprocess_and_score(pred, spec_in, spec_out, wav_true, algorithm, diff_gen):
-    assembled, wav_pred = _postprocess_only(pred, spec_in, algorithm, diff_gen)
-    return _score(assembled, spec_out, wav_pred, wav_true)
 
 
 def _save_diagnostic_plots(cfg: EvalConfig, plot_count: int, assembled,

@@ -105,6 +105,10 @@ class ResAE(nn.Module):
         # First transpose stage stride 1 at last filters, then reversed.
         self.dec_first = _ResStage(self.conv_filters[-1], self.conv_kernels[-1],
                                    1, transpose=True, dtype=self.dtype)
+        # NOTE: kernels index [i] while filters/strides index [i-1] — this
+        # mirrors the reference exactly (res_ae.py:304-306 passes
+        # conv_kernels[layer_index] with conv_filters/strides[layer_index-1]);
+        # only visible with heterogeneous kernel configs.
         self.dec_stages = [
             _ResStage(self.conv_filters[i - 1], self.conv_kernels[i],
                       self.conv_strides[i - 1], transpose=True, dtype=self.dtype)

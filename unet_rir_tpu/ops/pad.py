@@ -22,9 +22,9 @@ STFT_SHAPE = (N_BINS, N_FRAMES)  # (129, 151)
 def pad_to(x: jnp.ndarray, desired: tuple[int, int] = MODEL_SHAPE, axes: tuple[int, int] = (-2, -1)) -> jnp.ndarray:
     """Zero-pad axes to `desired` (bottom/right). No-op if already larger."""
     ax0, ax1 = [a % x.ndim for a in axes]
-    p0 = desired[0] - x.shape[ax0]
-    p1 = desired[1] - x.shape[ax1]
-    if p0 < 0 or p1 < 0:
+    p0 = max(0, desired[0] - x.shape[ax0])
+    p1 = max(0, desired[1] - x.shape[ax1])
+    if p0 == 0 and p1 == 0:
         return x
     pads = [(0, 0)] * x.ndim
     pads[ax0] = (0, p0)

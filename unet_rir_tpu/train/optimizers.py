@@ -34,14 +34,6 @@ def build_optimizer(name: str, learning_rate: float = 5e-7) -> optax.GradientTra
     return base
 
 
-def set_learning_rate(opt_state, lr: float):
-    """Update the injected learning rate inside an inject_hyperparams state."""
-    opt_state.hyperparams["learning_rate"] = opt_state.hyperparams[
-        "learning_rate"
-    ].__class__(lr)
-    return opt_state
-
-
 def epoch_lr(
     lr0: float,
     epoch: int,
@@ -74,4 +66,4 @@ def inverse_time_decay(lr0: float, decay_steps: int, decay_rate: float = 1.0,
     return schedule
 
 
-__all__ = ["build_optimizer", "set_learning_rate", "epoch_lr", "inverse_time_decay"]
+__all__ = ["build_optimizer", "epoch_lr", "inverse_time_decay"]

@@ -105,6 +105,20 @@ class Trainer:
         # corpus is device-resident (plain DataGenerator; sharded wrappers
         # fall back to the per-step path).
         fused = cfg.fused_epochs and hasattr(train_gen, "epoch_indices")
+        mesh = getattr(train_gen, "mesh", None) if fused else None
+        corpus_on_mesh: dict = {}
+
+        def _place_corpus(tag, ds):
+            """Replicate the (static) corpus onto the mesh once, not per epoch."""
+            if tag not in corpus_on_mesh:
+                from unet_rir_tpu.parallel import replicated
+
+                rep = replicated(mesh)
+                corpus_on_mesh[tag] = (
+                    jax.device_put(ds.features, rep),
+                    jax.device_put(ds.embeddings, rep),
+                )
+            return corpus_on_mesh[tag]
 
         for epoch in range(start_epoch, cfg.n_epochs):
             t0 = time.time()
@@ -118,13 +132,13 @@ class Trainer:
                 feats, embs = ds.features, ds.embeddings
                 idx_in = jax.numpy.asarray(idx_in)
                 idx_out = jax.numpy.asarray(idx_out)
-                mesh = getattr(train_gen, "mesh", None)
                 if mesh is not None:
-                    from unet_rir_tpu.parallel import shard_epoch_inputs
+                    from unet_rir_tpu.parallel import NamedSharding, P
 
-                    feats, embs, idx_in, idx_out = shard_epoch_inputs(
-                        feats, embs, idx_in, idx_out, mesh
-                    )
+                    feats, embs = _place_corpus("train", ds)
+                    idx_sharding = NamedSharding(mesh, P(None, "data"))
+                    idx_in = jax.device_put(idx_in, idx_sharding)
+                    idx_out = jax.device_put(idx_out, idx_sharding)
                 rng, epoch_rng = jax.random.split(rng)
                 state, tr_dev = self.train_epoch(
                     state, feats, embs, idx_in, idx_out, epoch_rng, lr
@@ -139,9 +153,9 @@ class Trainer:
                     v_in = jax.numpy.asarray(v_in)
                     v_out = jax.numpy.asarray(v_out)
                     if mesh is not None:
-                        vf, ve, v_in, v_out = shard_epoch_inputs(
-                            vf, ve, v_in, v_out, mesh
-                        )
+                        vf, ve = _place_corpus("val", vds)
+                        v_in = jax.device_put(v_in, idx_sharding)
+                        v_out = jax.device_put(v_out, idx_sharding)
                     va_dev = self.eval_epoch(state, vf, ve, v_in, v_out)
                     va = {k: float(v) for k, v in va_dev.items()}
                     val_gen.on_epoch_end()
