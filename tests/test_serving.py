@@ -1,0 +1,72 @@
+"""Serving-API tests: fixed-batch compiled synthesis with request padding."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from unet_rir_tpu import models, train
+from unet_rir_tpu.serving import RIRSynthesizer
+
+
+@pytest.fixture(scope="module")
+def synth():
+    model = models.UNet(number_filters_0=4)
+    spec = jnp.zeros((2, 144, 160, 2), jnp.float32)
+    emb = jnp.zeros((2, 2, 16), jnp.int32)
+    variables = train.init_model(model, (spec, emb))
+    return RIRSynthesizer(model, variables, batch_size=4)
+
+
+def _request(rng, n):
+    spec = rng.uniform(0, 1, (n, 144, 160, 2)).astype(np.float32)
+    emb = rng.integers(0, 1500, (n, 2, 16)).astype(np.int32)
+    return spec, emb
+
+
+class TestSynthesizer:
+    def test_exact_batch(self, synth, rng):
+        spec, emb = _request(rng, 4)
+        specs, wavs = synth.synthesize(spec, emb)
+        assert specs.shape == (4, 144, 160, 2)
+        assert wavs.shape == (4, 9600)
+        assert np.all(np.isfinite(wavs))
+
+    def test_padding_and_chunking(self, synth, rng):
+        spec, emb = _request(rng, 7)  # pads to 8 = 2 chunks of 4
+        specs, wavs = synth.synthesize(spec, emb)
+        assert wavs.shape == (7, 9600)
+        # results must equal the exact-batch path sample-for-sample
+        s1, w1 = synth.synthesize(spec[:4], emb[:4])
+        np.testing.assert_allclose(wavs[:4], w1, atol=1e-6)
+
+    def test_empty_request(self, synth):
+        specs, wavs = synth.synthesize(
+            np.zeros((0, 144, 160, 2), np.float32), np.zeros((0, 2, 16), np.int32)
+        )
+        assert wavs.shape == (0, 9600)
+
+    def test_positions_api(self, synth, rng):
+        spec, _ = _request(rng, 2)
+        src = [("ShoeBoxRoom", "A", "Planar", 1, 1), ("SmallMeetingRoom", "B", "Circular", 3, 7)]
+        tgt = [("ShoeBoxRoom", "A", "Planar", 1, 9), ("SmallMeetingRoom", "B", "Circular", 3, 11)]
+        specs, wavs = synth.synthesize_positions(spec, src, tgt)
+        assert wavs.shape == (2, 9600)
+        # embedding stack must match the scalar geometry path
+        from unet_rir_tpu import rooms
+
+        expected = rooms.ROOMS["ShoeBoxRoom"].return_embedding(
+            ["ShoeBoxRoom", "A", "Planar", "1", "9"]
+        )
+        np.testing.assert_array_equal(synth._embed(tgt)[0], expected)
+
+    def test_from_pretrained(self, rng, tmp_path):
+        model = models.UNet(number_filters_0=4)
+        spec = jnp.zeros((1, 144, 160, 2), jnp.float32)
+        emb = jnp.zeros((1, 2, 16), jnp.int32)
+        variables = train.init_model(model, (spec, emb))
+        models.save_pretrained(str(tmp_path / "m"), model, variables)
+        synth = RIRSynthesizer.from_pretrained(str(tmp_path / "m"), batch_size=2)
+        s, e = _request(rng, 2)
+        _, wavs = synth.synthesize(s, e)
+        assert wavs.shape == (2, 9600)

@@ -254,3 +254,23 @@ class TestParityUtilities:
         assert os.path.exists(str(tmp_path / "best" / "weights.npz"))
         m2, v2 = models.load_pretrained(str(tmp_path / "best"))
         assert isinstance(m2, models.UNet)
+
+
+def test_remat_matches_plain(rng):
+    """remat=True must not change the math, only the memory schedule."""
+    model = models.UNet(number_filters_0=4, batch_norm=False)
+    batch = _batch(rng)
+    variables = train.init_model(model, batch)
+    opt = train.build_optimizer("adam", 1e-3)
+    import copy
+
+    def run(remat):
+        step = train.make_train_step(model, opt, LossConfig(), remat=remat)
+        state = train.TrainState.create(jax.tree.map(jnp.copy, variables), opt)
+        state, metrics = step(state, batch, jax.random.key(0), 1e-3)
+        return float(metrics["loss"]), jax.tree_util.tree_leaves(state.params)[0]
+
+    l1, p1 = run(False)
+    l2, p2 = run(True)
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5, atol=1e-7)

@@ -91,6 +91,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
     p.add_argument("--filters", type=int, default=None,
                    help="override number_filters_0 for UNet-family models")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize forward in backward (larger batches)")
     p.add_argument("--early-stop", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -144,6 +146,7 @@ def main(argv=None) -> int:
         early_stop_patience=args.early_stop,
         checkpoint_dir=os.path.join(results_dir, "ckpt"),
         best_export_dir=os.path.join(results_dir, "best"),
+        remat=args.remat,
         seed=args.seed,
     )
     save_hyperparameters(results_dir, **vars(args))

@@ -70,24 +70,33 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     loss_cfg: LossConfig,
     l2_patterns: tuple[str, ...] | None = None,
+    remat: bool = False,
 ) -> Callable:
     """Build a jitted (state, batch, rng, lr) -> (state, metrics) step.
 
     `batch` = (spec_in, emb, spec_out) — the generator tuple order of the
     reference's canonical path (datageneratorv2.py:101-102).
+    remat=True rematerializes the forward in the backward pass
+    (jax.checkpoint) — trades ~1 extra forward for O(1) activation memory,
+    enabling much larger per-chip batches.
     """
     patterns = model.L2_PATTERNS if l2_patterns is None else l2_patterns
-    has_bn = True  # mutable batch_stats handled generically
 
-    def loss_fn(params, batch_stats, batch, rng):
-        spec_in, emb, spec_out = batch
+    def forward(params, batch_stats, spec_in, emb, rng):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        pred, aux, mut = _apply_model(
+        return _apply_model(
             model, variables, spec_in, emb, training=True, rng=rng,
             mutable=bool(batch_stats),
         )
+
+    if remat:
+        forward = jax.checkpoint(forward, static_argnums=())
+
+    def loss_fn(params, batch_stats, batch, rng):
+        spec_in, emb, spec_out = batch
+        pred, aux, mut = forward(params, batch_stats, spec_in, emb, rng)
         loss, metrics = compute_loss(
             loss_cfg, spec_in, spec_out, pred, aux, params, patterns
         )
@@ -120,6 +129,7 @@ def make_train_epoch(
     optimizer: optax.GradientTransformation,
     loss_cfg: LossConfig,
     l2_patterns: tuple[str, ...] | None = None,
+    remat: bool = False,
 ) -> Callable:
     """Build a jitted FULL-EPOCH step: one dispatch per epoch.
 
@@ -132,15 +142,21 @@ def make_train_epoch(
     """
     patterns = model.L2_PATTERNS if l2_patterns is None else l2_patterns
 
-    def loss_fn(params, batch_stats, batch, rng):
-        spec_in, emb, spec_out = batch
+    def fwd(params, batch_stats, spec_in, emb, rng):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        pred, aux, mut = _apply_model(
+        return _apply_model(
             model, variables, spec_in, emb, training=True, rng=rng,
             mutable=bool(batch_stats),
         )
+
+    if remat:
+        fwd = jax.checkpoint(fwd)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        spec_in, emb, spec_out = batch
+        pred, aux, mut = fwd(params, batch_stats, spec_in, emb, rng)
         loss, metrics = compute_loss(
             loss_cfg, spec_in, spec_out, pred, aux, params, patterns
         )

@@ -46,6 +46,7 @@ class TrainerConfig:
     checkpoint_keep: int = 2
     log_every: int = 0  # steps; 0 = epoch-level only
     fused_epochs: bool = True  # lax.scan the whole epoch on device when possible
+    remat: bool = False  # rematerialize forward in backward (bigger batches)
     seed: int = 0
 
 
@@ -55,9 +56,11 @@ class Trainer:
         self.loss_cfg = loss_cfg
         self.cfg = cfg
         self.optimizer = opt_mod.build_optimizer(cfg.optimizer, cfg.learning_rate)
-        self.train_step = make_train_step(model, self.optimizer, loss_cfg)
+        self.train_step = make_train_step(model, self.optimizer, loss_cfg,
+                                          remat=cfg.remat)
         self.eval_step = make_eval_step(model, loss_cfg)
-        self.train_epoch = make_train_epoch(model, self.optimizer, loss_cfg)
+        self.train_epoch = make_train_epoch(model, self.optimizer, loss_cfg,
+                                            remat=cfg.remat)
         self.eval_epoch = make_eval_epoch(model, loss_cfg)
         self.history = History()
 
