@@ -146,3 +146,17 @@ def test_evaluate_empty_partition_raises(corpus):
     cfg = eval_mod.EvalConfig(batch_size=1000, name="big")
     with pytest.raises(ValueError, match="fewer than"):
         eval_mod.evaluate(model, variables, corpus, cfg)
+
+
+def test_evaluate_long_duration(tmp_path):
+    """0.4 s corpus: eval crops/synthesizes at the wide grid end-to-end."""
+    corpus04 = Corpus.synthetic(n_per_room=6, max_order=2, duration=0.4)
+    assert corpus04.stft_shape == (129, 301)
+    model = models.UNet(number_filters_0=2)
+    sample = (corpus04.features[:2], jnp.stack([corpus04.embeddings[:2]] * 2, axis=1))
+    variables = train.init_model(model, sample)
+    cfg = eval_mod.EvalConfig(batch_size=2, name="long", out_dir=str(tmp_path))
+    result = eval_mod.evaluate(model, variables, corpus04, cfg)
+    assert np.all(np.isfinite(result.per_sample["mse_waveform"]))
+    # wav metrics computed at the 0.4 s length (19200 samples)
+    assert result.n_samples == 2

@@ -187,3 +187,45 @@ class TestMatmulTransforms:
         amp = jnp.abs(ops.stft(jnp.asarray(x), method="fft"))
         y = np.asarray(ops.griffin_lim(amp, n_iter=8, method="matmul"))
         assert np.all(np.isfinite(y)) and y.shape == (ops.N_SAMPLES,)
+
+
+class TestVariableDuration:
+    """Long-RIR support: wider frame axis, /16 grids, exact round-trip
+    (SURVEY.md §5.7 scaling path)."""
+
+    def test_model_shape_for(self):
+        from unet_rir_tpu.ops.pad import model_shape_for
+
+        assert model_shape_for((129, 151)) == (144, 160)
+        assert model_shape_for((129, 301)) == (144, 304)
+        assert model_shape_for((144, 160)) == (144, 160)
+
+    def test_featurize_04s_roundtrip(self, rng):
+        n = 19200  # 0.4 s
+        t = np.arange(n) / ops.SAMPLE_RATE
+        x = (rng.standard_normal((2, n)) * np.exp(-t / 0.1)).astype(np.float32)
+        x -= x.mean(axis=-1, keepdims=True)
+        feat = ops.featurize(jnp.asarray(x))
+        assert feat.shape == (2, 144, 304, 2)
+        wav = np.asarray(ops.defeaturize(feat, stft_shape=(129, 301)))
+        assert wav.shape == (2, n)
+        mis = 20 * np.log10(np.linalg.norm(wav - x, axis=-1) / np.linalg.norm(x, axis=-1))
+        assert mis.max() < -30, mis
+
+    def test_unet_forward_wide_grid(self, rng):
+        """The zoo runs on any /16 grid — long-RIR width 304."""
+        from unet_rir_tpu import models, train
+
+        model = models.UNet(number_filters_0=2)
+        spec = jnp.asarray(rng.uniform(0, 1, (1, 144, 304, 2)).astype(np.float32))
+        emb = jnp.asarray(rng.integers(0, 1500, (1, 2, 16)).astype(np.int32))
+        variables = train.init_model(model, (spec, emb))
+        out = model.apply(variables, spec, emb, training=False)
+        assert out.shape == (1, 144, 304, 2)
+
+    def test_synthetic_corpus_04s(self):
+        from unet_rir_tpu.data.corpus import Corpus
+
+        corpus = Corpus.synthetic(n_per_room=2, max_order=2, duration=0.4)
+        assert corpus.features.shape == (10, 144, 304, 2)
+        assert corpus.wavs.shape == (10, 19200)

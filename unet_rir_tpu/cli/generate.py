@@ -38,6 +38,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data-dir", default=None)
     p.add_argument("--dataset-name", default="room_impulse")
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--duration", type=float, default=0.2)
     p.add_argument("--save-wavs", action="store_true")
     p.add_argument("--plot-every", type=int, default=0,
                    help="save 4 diagnostic PNGs every N samples (reference: 640)")
@@ -53,7 +54,8 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
 
     if args.synthetic:
-        corpus = Corpus.synthetic(n_per_room=args.synthetic, room=args.rooms)
+        corpus = Corpus.synthetic(n_per_room=args.synthetic, room=args.rooms,
+                                  duration=args.duration)
     elif args.data_dir:
         corpus = Corpus.from_directory(args.data_dir, args.dataset_name,
                                        room=args.rooms, array=args.arrays)

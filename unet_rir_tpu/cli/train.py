@@ -85,6 +85,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dataset-name", default="room_impulse")
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N RIRs per room with the on-device simulator")
+    p.add_argument("--duration", type=float, default=0.2,
+                   help="RIR duration in seconds (synthetic mode; widens the frame axis)")
     # TPU-native knobs.
     p.add_argument("--mesh-data", type=int, default=None)
     p.add_argument("--mesh-spatial", type=int, default=1)
@@ -109,7 +111,8 @@ def main(argv=None) -> int:
           f"global batch: {global_batch}")
 
     if args.synthetic:
-        corpus = Corpus.synthetic(n_per_room=args.synthetic, room=args.rooms)
+        corpus = Corpus.synthetic(n_per_room=args.synthetic, room=args.rooms,
+                                  duration=args.duration)
     elif args.data_dir:
         corpus = Corpus.from_directory(args.data_dir, args.dataset_name,
                                        room=args.rooms, array=args.arrays)

@@ -38,7 +38,7 @@ import numpy as np
 from unet_rir_tpu import rooms as rooms_mod
 from unet_rir_tpu.data import simulator, wav_io
 from unet_rir_tpu.ops.features import featurize
-from unet_rir_tpu.ops.stft import N_SAMPLES
+from unet_rir_tpu.ops.stft import HOP_LENGTH, N_BINS, N_SAMPLES
 
 SEED = 500  # reference split/pairing seed (dataset.py:76)
 
@@ -106,6 +106,10 @@ class Corpus:
         # (the reference reloads them from disk per sample,
         # rir_generation.py:210-213; we keep them HBM-resident).
         self.wavs = wavs
+        # Unpadded STFT grid for this corpus's duration ((129, 151) at 0.2 s);
+        # consumed by the eval/defeaturize crop.
+        n_samples = int(wavs.shape[-1]) if wavs is not None and wavs.ndim else N_SAMPLES
+        self.stft_shape = (N_BINS, 1 + n_samples // HOP_LENGTH)
         self.index_in, self.index_out = self._pair_indices()
 
     # -- construction ------------------------------------------------------
@@ -170,12 +174,15 @@ class Corpus:
         room: Sequence[str] | None = None,
         seed: int = SEED,
         max_order: int = 6,
+        duration: float = 0.2,
     ) -> "Corpus":
         """Generate a corpus from the on-device image-source simulator.
 
         Speaker/mic indices are drawn round-robin over the real grids so
         embeddings are in-distribution; source/mic geometry comes from the
-        room's shoebox approximation.
+        room's shoebox approximation. `duration` (s) controls the RIR
+        length; longer durations widen the spectrogram frame axis
+        (SURVEY.md §5.7 long-RIR scaling).
         """
         sel_rooms = tuple(room) if room and list(room) != ["All"] else _DEFAULT_ROOMS
         samples: list[Sample] = []
@@ -206,6 +213,7 @@ class Corpus:
             jnp.asarray(np.stack(src_l), jnp.float32),
             jnp.asarray(np.stack(mic_l), jnp.float32),
             jnp.asarray(np.array(rt60_l), jnp.float32),
+            n_samples=int(round(duration * 48000)),
             max_order=max_order,
         )
         rirs = rirs - jnp.mean(rirs, axis=-1, keepdims=True)

@@ -31,6 +31,7 @@ from unet_rir_tpu.data.corpus import Corpus
 from unet_rir_tpu.data.pipeline import DataGenerator
 from unet_rir_tpu.eval import metrics as metrics_mod
 from unet_rir_tpu.ops.features import defeaturize
+from unet_rir_tpu.ops.pad import STFT_SHAPE
 from unet_rir_tpu.train.steps import make_forward
 
 # Report row order (rir_generation.py:373).
@@ -63,7 +64,8 @@ def assemble_prediction(spec_in, spec_pred, diff_gen: bool):
     return jnp.stack([spec_pred[..., 0], phase], axis=-1)
 
 
-def make_generate_fn(model, algorithm: str = "ph", diff_gen: bool = False):
+def make_generate_fn(model, algorithm: str = "ph", diff_gen: bool = False,
+                     stft_shape: tuple[int, int] = STFT_SHAPE):
     """Fused jit: (variables, spec_in, emb) -> (spec_assembled, wav).
 
     Forward + diff reassembly + unpad + denorm + iSTFT in one XLA program —
@@ -75,7 +77,7 @@ def make_generate_fn(model, algorithm: str = "ph", diff_gen: bool = False):
     def generate(variables, spec_in, emb):
         pred = forward(variables, spec_in, emb)
         assembled = assemble_prediction(spec_in, pred, diff_gen)
-        wav = defeaturize(assembled, algorithm=algorithm)
+        wav = defeaturize(assembled, algorithm=algorithm, stft_shape=stft_shape)
         return assembled, wav
 
     return generate
@@ -111,6 +113,7 @@ def evaluate(
     """Run the full generation + metric harness over a corpus partition."""
     gen = DataGenerator(corpus, batch_size=cfg.batch_size, partition=partition,
                         shuffle=False, characteristics=False)
+    stft_shape = getattr(corpus, "stft_shape", STFT_SHAPE)
     if len(gen) == 0:
         raise ValueError(
             f"partition {partition!r} has {len(gen._pairs)} samples, fewer than "
@@ -134,7 +137,8 @@ def evaluate(
         pred = forward(variables, spec_in, emb)
         pred.block_until_ready()
         t1 = time.time()
-        assembled, wav_pred = _postprocess_only(pred, spec_in, cfg.algorithm, cfg.diff_gen)
+        assembled, wav_pred = _postprocess_only(
+            pred, spec_in, cfg.algorithm, cfg.diff_gen, stft_shape)
         wav_pred.block_until_ready()
         t2 = time.time()
         batch_metrics = _score(assembled, spec_out, wav_pred, wav_true)
@@ -182,10 +186,10 @@ def evaluate(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("algorithm", "diff_gen"))
-def _postprocess_only(pred, spec_in, algorithm, diff_gen):
+@functools.partial(jax.jit, static_argnames=("algorithm", "diff_gen", "stft_shape"))
+def _postprocess_only(pred, spec_in, algorithm, diff_gen, stft_shape=STFT_SHAPE):
     assembled = assemble_prediction(spec_in, pred, diff_gen)
-    return assembled, defeaturize(assembled, algorithm=algorithm)
+    return assembled, defeaturize(assembled, algorithm=algorithm, stft_shape=stft_shape)
 
 
 @jax.jit

@@ -25,16 +25,19 @@ import jax
 import jax.numpy as jnp
 
 from unet_rir_tpu.ops.normalize import denormalize, normalize
-from unet_rir_tpu.ops.pad import MODEL_SHAPE, pad_amp_phase, un_pad
-from unet_rir_tpu.ops.stft import N_SAMPLES, griffin_lim, istft, stft_amp_phase
+from unet_rir_tpu.ops.pad import MODEL_SHAPE, STFT_SHAPE, crop_to, model_shape_for, pad_to
+from unet_rir_tpu.ops.stft import HOP_LENGTH, N_BINS, N_SAMPLES, griffin_lim, istft, stft_amp_phase
 
 
 def _featurize_jnp(wav: jnp.ndarray) -> jnp.ndarray:
     wav = wav - jnp.mean(wav, axis=-1, keepdims=True)  # DC removal (preprocess.py:56)
     amp, phase = stft_amp_phase(wav)
+    # Pad to the smallest /16 grid for this duration ((144,160) at 0.2 s).
+    grid = model_shape_for((amp.shape[-2], amp.shape[-1]))
     amp_n, phase_n = normalize(amp, phase)
-    amp_p, phase_p = pad_amp_phase(amp_n, phase_n)
-    return jnp.stack([amp_p, phase_p], axis=-1).astype(jnp.float32)
+    return jnp.stack(
+        [pad_to(amp_n, grid), pad_to(phase_n, grid)], axis=-1
+    ).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
@@ -51,10 +54,11 @@ def featurize(wav: jnp.ndarray, use_pallas: bool | None = None) -> jnp.ndarray:
     return _featurize_jnp(wav)
 
 
-def _defeaturize_jnp(feature, algorithm, length):
+def _defeaturize_jnp(feature, algorithm, length, stft_shape=STFT_SHAPE):
     amp_p = feature[..., 0]
     phase_p = feature[..., 1]
-    amp_n, phase_n = un_pad(amp_p, phase_p)
+    amp_n = crop_to(amp_p, stft_shape)
+    phase_n = crop_to(phase_p, stft_shape)
     amp, phase = denormalize(amp_n, phase_n)
     if algorithm == "ph":
         spec = amp * jnp.exp(1j * phase)
@@ -64,34 +68,40 @@ def _defeaturize_jnp(feature, algorithm, length):
     raise ValueError(f"unknown algorithm: {algorithm!r}")
 
 
-@functools.partial(jax.jit, static_argnames=("algorithm", "length", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("algorithm", "length", "use_pallas", "stft_shape"))
 def defeaturize(
     feature: jnp.ndarray,
     algorithm: str = "ph",
-    length: int | None = N_SAMPLES,
+    length: int | None = None,
     use_pallas: bool | None = None,
+    stft_shape: tuple[int, int] = STFT_SHAPE,
 ) -> jnp.ndarray:
-    """feature (..., 144, 160, 2) -> wav (..., length).
+    """feature (..., H, W, 2) -> wav (..., length).
 
     algorithm='ph' recombines predicted amplitude+phase; 'gl' discards the
     phase channel and runs Griffin-Lim (reference postprocess.py:127-131).
+    For non-default durations pass the unpadded `stft_shape`
+    (n_bins, n_frames); `length` defaults to hop*(n_frames-1).
     """
+    if length is None:
+        length = HOP_LENGTH * (stft_shape[1] - 1)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if (
         use_pallas
         and algorithm == "ph"
+        and stft_shape == STFT_SHAPE
         and feature.ndim >= 4
         and feature.shape[-3:] == MODEL_SHAPE + (2,)
-        and (length is None or length <= N_SAMPLES)
+        and length <= N_SAMPLES
     ):
         from unet_rir_tpu.ops.pallas.stft_pallas import defeaturize_pallas
 
         lead = feature.shape[:-3]
         flat = feature.reshape((-1,) + MODEL_SHAPE + (2,))
         wav = defeaturize_pallas(flat).reshape(lead + (N_SAMPLES,))
-        return wav if length is None else wav[..., :length]
-    return _defeaturize_jnp(feature, algorithm, length)
+        return wav[..., :length]
+    return _defeaturize_jnp(feature, algorithm, length, stft_shape)
 
 
 __all__ = ["featurize", "defeaturize"]

@@ -19,6 +19,17 @@ MODEL_SHAPE = (144, 160)
 STFT_SHAPE = (N_BINS, N_FRAMES)  # (129, 151)
 
 
+def model_shape_for(stft_shape: tuple[int, int], multiple: int = 16) -> tuple[int, int]:
+    """Smallest grid >= stft_shape with both dims divisible by `multiple`.
+
+    16 keeps four stride-2 stages exact; the default 0.2 s RIR gives
+    (129, 151) -> (144, 160). Longer RIRs widen the frame axis
+    (SURVEY.md §5.7): e.g. 0.4 s -> (129, 301) -> (144, 304).
+    """
+    up = lambda v: -(-v // multiple) * multiple
+    return (up(stft_shape[0]), up(stft_shape[1]))
+
+
 def pad_to(x: jnp.ndarray, desired: tuple[int, int] = MODEL_SHAPE, axes: tuple[int, int] = (-2, -1)) -> jnp.ndarray:
     """Zero-pad axes to `desired` (bottom/right). No-op if already larger."""
     ax0, ax1 = [a % x.ndim for a in axes]
@@ -69,6 +80,7 @@ class TensorPadder:
 __all__ = [
     "MODEL_SHAPE",
     "STFT_SHAPE",
+    "model_shape_for",
     "pad_to",
     "crop_to",
     "pad_amp_phase",
