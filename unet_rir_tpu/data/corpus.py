@@ -31,7 +31,6 @@ import random
 import re
 from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

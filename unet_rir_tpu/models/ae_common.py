@@ -22,7 +22,6 @@ from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
-import numpy as np
 
 from unet_rir_tpu.models.layers import BN_EPS, BN_MOMENTUM
 

@@ -15,7 +15,7 @@ These reproduce the *capabilities* of the reference's Keras block helpers
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from unet_rir_tpu.ops.normalize import denormalize, normalize
 from unet_rir_tpu.ops.pad import MODEL_SHAPE, STFT_SHAPE, crop_to, model_shape_for, pad_to
-from unet_rir_tpu.ops.stft import HOP_LENGTH, N_BINS, N_SAMPLES, griffin_lim, istft, stft_amp_phase
+from unet_rir_tpu.ops.stft import HOP_LENGTH, N_SAMPLES, griffin_lim, istft, stft_amp_phase
 
 
 def _featurize_jnp(wav: jnp.ndarray) -> jnp.ndarray:

@@ -9,7 +9,6 @@ keep-N retention and restore-latest-or-initialize semantics.
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import jax
 import orbax.checkpoint as ocp

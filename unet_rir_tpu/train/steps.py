@@ -12,7 +12,6 @@ not explicit NCCL calls).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable
 
 import flax
