@@ -140,3 +140,18 @@ class TestWavIO:
         scipy.io.wavfile.write(p, 24000, wav)
         back = data.read_wav(p)  # 1 s at 24 kHz -> 0.2 s at 48 kHz
         assert back.shape == (9600,)
+
+
+def test_duration_hop_alignment():
+    """Non-hop-multiple durations round to the hop grid (no wav/STFT length
+    mismatch in eval)."""
+    c = Corpus.synthetic(n_per_room=2, max_order=2, duration=0.25)
+    # 12000 samples is already a hop multiple of 64? 12000/64=187.5 -> rounds to 187*64=11968 or 188*64=12032
+    n = c.wavs.shape[-1]
+    assert n % 64 == 0
+    assert c.stft_shape == (129, 1 + n // 64)
+    # defeaturize length identity
+    import unet_rir_tpu.ops.features as F
+
+    wav = F.defeaturize(c.features[:1], stft_shape=c.stft_shape)
+    assert wav.shape[-1] == n

@@ -70,3 +70,33 @@ class TestSynthesizer:
         s, e = _request(rng, 2)
         _, wavs = synth.synthesize(s, e)
         assert wavs.shape == (2, 9600)
+
+
+def test_long_duration_synthesizer(rng):
+    """Serving at 0.4 s: grid (144,304), 19200-sample wavs, no tail crop."""
+    model = models.UNet(number_filters_0=2)
+    spec = jnp.zeros((1, 144, 304, 2), jnp.float32)
+    emb = jnp.zeros((1, 2, 16), jnp.int32)
+    variables = train.init_model(model, (spec, emb))
+    synth = RIRSynthesizer(model, variables, batch_size=2, stft_shape=(129, 301))
+    assert synth.grid == (144, 304) and synth.n_samples == 19200
+    s = rng.uniform(0, 1, (3, 144, 304, 2)).astype(np.float32)
+    e = rng.integers(0, 1500, (3, 2, 16)).astype(np.int32)
+    specs, wavs = synth.synthesize(s, e)
+    assert wavs.shape == (3, 19200)
+
+
+def test_grid_mismatch_raises(synth, rng):
+    s = rng.uniform(0, 1, (2, 144, 304, 2)).astype(np.float32)
+    e = rng.integers(0, 1500, (2, 2, 16)).astype(np.int32)
+    with pytest.raises(ValueError, match="serving"):
+        synth.synthesize(s, e)
+
+
+def test_bad_array_name_raises(synth, rng):
+    spec = rng.uniform(0, 1, (1, 144, 160, 2)).astype(np.float32)
+    with pytest.raises(ValueError, match="unknown array"):
+        synth.synthesize_positions(
+            spec, [("ShoeBoxRoom", "A", "PlanarMicrophoneArray", 1, 1)],
+            [("ShoeBoxRoom", "A", "Planar", 1, 2)],
+        )

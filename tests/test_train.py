@@ -262,7 +262,6 @@ def test_remat_matches_plain(rng):
     batch = _batch(rng)
     variables = train.init_model(model, batch)
     opt = train.build_optimizer("adam", 1e-3)
-    import copy
 
     def run(remat):
         step = train.make_train_step(model, opt, LossConfig(), remat=remat)

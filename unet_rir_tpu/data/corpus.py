@@ -37,7 +37,7 @@ import numpy as np
 from unet_rir_tpu import rooms as rooms_mod
 from unet_rir_tpu.data import simulator, wav_io
 from unet_rir_tpu.ops.features import featurize
-from unet_rir_tpu.ops.stft import HOP_LENGTH, N_BINS, N_SAMPLES
+from unet_rir_tpu.ops.stft import HOP_LENGTH, N_BINS, N_SAMPLES, SAMPLE_RATE
 
 SEED = 500  # reference split/pairing seed (dataset.py:76)
 
@@ -212,7 +212,7 @@ class Corpus:
             jnp.asarray(np.stack(src_l), jnp.float32),
             jnp.asarray(np.stack(mic_l), jnp.float32),
             jnp.asarray(np.array(rt60_l), jnp.float32),
-            n_samples=int(round(duration * 48000)),
+            n_samples=_hop_aligned_samples(duration),
             max_order=max_order,
         )
         rirs = rirs - jnp.mean(rirs, axis=-1, keepdims=True)
@@ -282,15 +282,19 @@ def _decode_paths(paths: list[str]) -> np.ndarray:
     return wavs
 
 
+def _hop_aligned_samples(duration: float) -> int:
+    """Round duration*fs to a hop multiple so the STFT frame grid is exact
+    (otherwise synthesized wavs would be hop-truncated vs the stored wavs)."""
+    n = int(round(duration * SAMPLE_RATE / HOP_LENGTH)) * HOP_LENGTH
+    return max(n, HOP_LENGTH)
+
+
 def _embed_samples(samples: list[Sample]) -> jnp.ndarray:
     if not samples:
         return jnp.zeros((0, 16), jnp.int32)
-    room_id = np.array([rooms_mod.ROOM_IDS[s.room] for s in samples])
-    zone_id = np.array(["ABCDE".index(s.zone) for s in samples])
-    array_id = np.array([0 if s.array == "Planar" else 1 for s in samples])
-    l = np.array([s.l for s in samples])
-    m = np.array([s.m for s in samples])
-    return rooms_mod.batched_embeddings(room_id, zone_id, array_id, l, m)
+    return jnp.asarray(
+        rooms_mod.embed_descriptors([(s.room, s.zone, s.array, s.l, s.m) for s in samples])
+    )
 
 
 def _featurize_chunked(wavs: np.ndarray, chunk: int) -> jnp.ndarray:

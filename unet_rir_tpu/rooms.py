@@ -242,6 +242,28 @@ def batched_embeddings(room_id, zone_id, array_id, l, m):
     return emb.astype(jnp.int32)
 
 
+def embed_descriptors(descriptors) -> np.ndarray:
+    """(room, zone, array, l, m) descriptors -> (N, 16) int32 embeddings.
+
+    The one conversion point shared by the corpus and the serving API.
+    `array` must be exactly 'Planar' or 'Circular' (the parsed short names,
+    not the on-disk '...MicrophoneArray' folder names).
+    """
+    for d in descriptors:
+        if d[2] not in _ARRAY_IDS:
+            raise ValueError(
+                f"unknown array type {d[2]!r}; expected 'Planar' or 'Circular'"
+            )
+        if d[1] not in _ZONE_IDS:
+            raise ValueError(f"unknown zone {d[1]!r}; expected one of A-E")
+    room_id = np.array([ROOM_IDS[d[0]] for d in descriptors])
+    zone_id = np.array([_ZONE_IDS[d[1]] for d in descriptors])
+    array_id = np.array([_ARRAY_IDS[d[2]] for d in descriptors])
+    l = np.array([int(d[3]) for d in descriptors])
+    m = np.array([int(d[4]) for d in descriptors])
+    return np.asarray(batched_embeddings(room_id, zone_id, array_id, l, m))
+
+
 __all__ = [
     "UTSRoom",
     "ROOMS",
@@ -249,4 +271,5 @@ __all__ = [
     "ROOM_IDS",
     "return_room",
     "batched_embeddings",
+    "embed_descriptors",
 ]

@@ -22,7 +22,8 @@ import numpy as np
 from unet_rir_tpu import rooms as rooms_mod
 from unet_rir_tpu.eval.generation import make_generate_fn
 from unet_rir_tpu.models.io import load_pretrained
-from unet_rir_tpu.ops.stft import N_SAMPLES
+from unet_rir_tpu.ops.pad import STFT_SHAPE, model_shape_for
+from unet_rir_tpu.ops.stft import HOP_LENGTH
 
 
 class RIRSynthesizer:
@@ -36,13 +37,20 @@ class RIRSynthesizer:
     """
 
     def __init__(self, model, variables: dict, batch_size: int = 128,
-                 algorithm: str = "ph", diff_gen: bool = False):
+                 algorithm: str = "ph", diff_gen: bool = False,
+                 stft_shape: tuple[int, int] = STFT_SHAPE):
         self.model = model
         self.variables = variables
         self.batch_size = batch_size
         self.algorithm = algorithm
         self.diff_gen = diff_gen
-        self._generate = make_generate_fn(model, algorithm=algorithm, diff_gen=diff_gen)
+        # Serving grid for this model's RIR duration (default 0.2 s ->
+        # (129,151) -> (144,160) grid, 9600-sample wavs).
+        self.stft_shape = tuple(stft_shape)
+        self.grid = model_shape_for(self.stft_shape)
+        self.n_samples = HOP_LENGTH * (self.stft_shape[1] - 1)
+        self._generate = make_generate_fn(model, algorithm=algorithm,
+                                          diff_gen=diff_gen, stft_shape=self.stft_shape)
 
     @classmethod
     def from_pretrained(cls, folder: str, **kwargs) -> "RIRSynthesizer":
@@ -51,22 +59,30 @@ class RIRSynthesizer:
 
     def warmup(self) -> None:
         """Trigger compilation ahead of the first request."""
-        spec = jnp.zeros((self.batch_size, 144, 160, 2), jnp.float32)
+        h, w = self.grid
+        spec = jnp.zeros((self.batch_size, h, w, 2), jnp.float32)
         emb = jnp.zeros((self.batch_size, 2, 16), jnp.int32)
         jax.block_until_ready(self._generate(self.variables, spec, emb))
 
     def synthesize(self, spec_in, emb) -> tuple[np.ndarray, np.ndarray]:
-        """(N,144,160,2) float + (N,2,16) int -> (spectrograms, wavs (N,9600)).
+        """(N,H,W,2) float + (N,2,16) int -> (spectrograms, wavs).
 
         Any N is accepted; requests are padded up to the compiled batch and
-        processed in fixed-shape chunks.
+        processed in fixed-shape chunks. H/W must match the synthesizer's
+        grid (self.grid), i.e. the duration the model was trained on.
         """
         spec_in = np.asarray(spec_in, np.float32)
         emb = np.asarray(emb, np.int32)
+        if spec_in.ndim != 4 or spec_in.shape[1:3] != self.grid:
+            raise ValueError(
+                f"spec_in shape {spec_in.shape} does not match the serving "
+                f"grid {self.grid}; construct RIRSynthesizer with the "
+                f"stft_shape of the model's duration"
+            )
         n = spec_in.shape[0]
         if n == 0:
-            return (np.zeros((0, 144, 160, 2), np.float32),
-                    np.zeros((0, N_SAMPLES), np.float32))
+            return (np.zeros((0,) + self.grid + (2,), np.float32),
+                    np.zeros((0, self.n_samples), np.float32))
         b = self.batch_size
         pad = (-n) % b
         if pad:
@@ -100,12 +116,7 @@ class RIRSynthesizer:
 
     @staticmethod
     def _embed(descriptors: Sequence[tuple]) -> np.ndarray:
-        room_id = np.array([rooms_mod.ROOM_IDS[d[0]] for d in descriptors])
-        zone_id = np.array(["ABCDE".index(d[1]) for d in descriptors])
-        array_id = np.array([0 if d[2] == "Planar" else 1 for d in descriptors])
-        l = np.array([int(d[3]) for d in descriptors])
-        m = np.array([int(d[4]) for d in descriptors])
-        return np.asarray(rooms_mod.batched_embeddings(room_id, zone_id, array_id, l, m))
+        return rooms_mod.embed_descriptors(descriptors)
 
 
 __all__ = ["RIRSynthesizer"]
