@@ -81,6 +81,74 @@ def test_eval_step_dp(setup):
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
 
 
+def test_initialize_distributed_single_process_noop():
+    """No cluster config + backend already up -> False with a warning,
+    never an exception (reference surface: main_training.py:56 runs
+    single-host without any cluster setup)."""
+    if jax.distributed.is_initialized():  # pragma: no cover - env dependent
+        pytest.skip("distributed client already initialized in this process")
+    with pytest.warns(UserWarning, match="after the XLA backend"):
+        assert parallel.initialize_distributed() is False
+
+
+def test_initialize_distributed_explicit_failure_surfaces():
+    """Explicit coordinator kwargs that cannot be honored must raise, not
+    be swallowed (round-1 bug: bare `except Exception: pass`)."""
+    if jax.distributed.is_initialized():  # pragma: no cover - env dependent
+        pytest.skip("distributed client already initialized in this process")
+    with pytest.raises(RuntimeError):
+        # Backend is already initialized in the test process, so an explicit
+        # single-process cluster request is too late and must surface.
+        parallel.initialize_distributed(
+            coordinator_address="localhost:12357", num_processes=1, process_id=0
+        )
+
+
+def test_initialize_distributed_explicit_single_process():
+    """In a fresh process, an explicit 1-process cluster initializes and the
+    call is idempotent (returns True twice)."""
+    import subprocess
+    import sys
+
+    code = (
+        "from unet_rir_tpu import parallel\n"
+        "ok1 = parallel.initialize_distributed("
+        "coordinator_address='localhost:12358', num_processes=1, process_id=0)\n"
+        "ok2 = parallel.initialize_distributed()\n"
+        "import jax\n"
+        "assert ok1 and ok2 and jax.distributed.is_initialized()\n"
+        "print('DIST_OK')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    assert "DIST_OK" in out.stdout
+
+
+def test_dryrun_multichip_bootstraps_virtual_mesh():
+    """__graft_entry__.dryrun_multichip must self-bootstrap an 8-device
+    virtual CPU mesh even when the process starts with one visible device
+    (the driver's environment — round-1 MULTICHIP failure)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    # Strip the conftest's virtual-device flags so the child genuinely has
+    # to bootstrap (it will come up on whatever the session platform is).
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    code = (
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=560, env=env,
+                         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr
+    assert "dryrun_multichip OK" in out.stdout
+
+
 def test_fused_epoch_dp_matches_single_device(setup):
     """Fused lax.scan epoch sharded over the mesh == single-device result."""
     import jax.numpy as jnp

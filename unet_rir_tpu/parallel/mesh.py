@@ -87,14 +87,50 @@ def shard_epoch_inputs(features, embeddings, idx_in, idx_out, mesh: Mesh):
     )
 
 
-def initialize_distributed(**kwargs) -> None:
-    """Multi-host init (jax.distributed.initialize); no-op if single-process."""
-    if jax.process_count() > 1:
-        return
+def initialize_distributed(**kwargs) -> bool:
+    """Multi-host init: `jax.distributed.initialize` done right (SURVEY §5.8).
+
+    MUST run before any backend-initializing call (`jax.devices()`,
+    `jax.process_count()`, any jnp op) — the coordination service has to be
+    up before the runtime binds local devices to the global topology. The
+    reference's equivalent surface is MirroredStrategy construction
+    (main_training.py:56); multi-host is the capability TF would get from
+    MultiWorkerMirroredStrategy.
+
+    kwargs pass through to `jax.distributed.initialize`
+    (coordinator_address, num_processes, process_id, ...). With no kwargs,
+    JAX auto-detects cluster environments (TPU pods, SLURM, ...).
+
+    Returns True if the distributed client is (now) initialized. A plain
+    single-process launch with no cluster environment and no explicit
+    coordinator kwargs is a documented no-op returning False; any real
+    initialization failure propagates.
+    """
+    if jax.distributed.is_initialized():
+        return True
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception:
-        pass  # already initialized or single-host
+    except ValueError:
+        # jax raises ValueError when it cannot auto-detect a cluster and
+        # no coordinator_address was given — the single-process case.
+        if kwargs:
+            raise  # explicit config that failed: surface it
+        return False
+    except RuntimeError:
+        # "must be called before any JAX calls that might initialise the
+        # XLA backend": too late to set up multi-host in this process.
+        if kwargs:
+            raise
+        import warnings
+
+        warnings.warn(
+            "initialize_distributed() called after the XLA backend was "
+            "initialized; running single-process. For multi-host, call it "
+            "before any jax.devices()/computation.",
+            stacklevel=2,
+        )
+        return False
+    return True
 
 
 __all__ = [
