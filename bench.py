@@ -86,6 +86,26 @@ def bench_tpu(batch: int = BATCH) -> float:
     return batch / per_iter
 
 
+def bench_train() -> dict:
+    """Secondary: train-step throughput + MFU (VERDICT r1 item 5), using
+    tools/measure_train_mfu.py's chained-step method. Never fatal."""
+    try:
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+        from measure_train_mfu import measure
+
+        r = measure(batch_size=64, bf16=True, filters=32,
+                    peak_tflops=197e12)
+        out = {"train_samples_per_sec": r["train_samples_per_sec"]}
+        if "mfu_pct" in r:
+            out["train_mfu_pct"] = r["mfu_pct"]
+        return out
+    except Exception as e:
+        print(f"# train bench skipped: {e!r}", flush=True)
+        return {}
+
+
 def main() -> None:
     # The remote-TPU tunnel occasionally degrades; retry at smaller batch
     # sizes before giving up so a transient stall doesn't zero the round.
@@ -113,12 +133,14 @@ def main() -> None:
             ref = json.load(f).get("cpu_reference_rirs_per_sec")
         if ref:
             vs = value / ref
-    print(json.dumps({
+    record = {
         "metric": "RIR synthesis throughput (U-Net fwd + iSTFT fused, batch %d)" % batch,
         "value": round(value, 2),
         "unit": "rirs/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
-    }))
+    }
+    record.update(bench_train())
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -155,3 +155,31 @@ def test_duration_hop_alignment():
 
     wav = F.defeaturize(c.features[:1], stft_shape=c.stft_shape)
     assert wav.shape[-1] == n
+
+
+def test_from_directory_debugging_flag(tmp_path, rng):
+    """debugging=True loads only the first array folder that yields samples
+    (reference dataset.py:24,127-170 quick-load semantics)."""
+    import os
+
+    import scipy.io.wavfile
+
+    base = tmp_path / "ds" / "room_impulse"
+    for room, zone, arr, n in [
+        ("ShoeBoxRoom", "ZoneA", "CircularMicrophoneArray", 3),
+        ("ShoeBoxRoom", "ZoneA", "PlanarMicrophoneArray", 2),
+        ("SmallMeetingRoom", "ZoneB", "PlanarMicrophoneArray", 4),
+    ]:
+        d = base / room / zone / arr
+        os.makedirs(d)
+        for m in range(1, n + 1):
+            wav = (rng.standard_normal(9600) * 0.1).astype(np.float32)
+            scipy.io.wavfile.write(
+                str(d / f"{room}_{zone}_{arr}_L1_M{m}.wav"), 48000, wav)
+
+    quick = Corpus.from_directory(str(tmp_path / "ds"), debugging=True)
+    # sorted walk order: ShoeBoxRoom/ZoneA/CircularMicrophoneArray first
+    assert len(quick) == 3
+    assert {s.array for s in quick.samples} == {"Circular"}
+    full = Corpus.from_directory(str(tmp_path / "ds"))
+    assert len(full) == 9

@@ -24,3 +24,15 @@ def test_dryrun_multichip_8():
 
 def test_dryrun_multichip_odd():
     graft.dryrun_multichip(1)
+
+
+def test_dryrun_does_not_pollute_backend():
+    """dryrun_multichip(n) with n <= visible devices must NOT rebuild the
+    backend (regression: a function-local `import jax.extend.backend` made
+    the visible-device probe raise, force-bootstrapping n CPU devices and
+    leaving the whole test process with 1 device after dryrun(1))."""
+    import jax
+
+    before = len(jax.devices())
+    graft.dryrun_multichip(1)
+    assert len(jax.devices()) == before

@@ -160,3 +160,22 @@ def test_evaluate_long_duration(tmp_path):
     assert np.all(np.isfinite(result.per_sample["mse_waveform"]))
     # wav metrics computed at the 0.4 s length (19200 samples)
     assert result.n_samples == 2
+
+
+def test_evaluate_saves_wavs_and_stfts(corpus, tmp_path):
+    """save_wavs exports per-sample wav AND generated-STFT .npy, named by
+    conditioning vector (reference postprocess.py:135-159)."""
+    model = models.UNet(number_filters_0=4)
+    sample = (corpus.features[:2], jnp.stack([corpus.embeddings[:2]] * 2, axis=1))
+    variables = train.init_model(model, sample)
+    cfg = eval_mod.EvalConfig(batch_size=2, name="tiny", out_dir=str(tmp_path),
+                              save_wavs=True)
+    result = eval_mod.evaluate(model, variables, corpus, cfg)
+    rir_dir = os.path.join(str(tmp_path), "tiny_ph", "rir")
+    stft_dir = os.path.join(str(tmp_path), "tiny_ph", "stft")
+    wavs = sorted(os.listdir(rir_dir))
+    npys = sorted(os.listdir(stft_dir))
+    assert len(wavs) == len(npys) == result.n_samples
+    assert all(w.startswith("RIR-") and w.endswith(".wav") for w in wavs)
+    spec = np.load(os.path.join(stft_dir, npys[0]))
+    assert spec.shape == (144, 160, 2) and np.all(np.isfinite(spec))

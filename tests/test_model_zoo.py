@@ -152,3 +152,29 @@ def test_zoo_save_load(rng, name, tmp_path):
     p1 = out1[0] if has_aux else out1
     p2 = out2[0] if has_aux else out2
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+
+
+def test_summary_tabulate():
+    """models.summary(): the reference model.summary() equivalent
+    (u_net.py:66-76) via nn.tabulate."""
+    s = models.summary(models.UNet(number_filters_0=4))
+    assert "UNet" in s and "reg_down_0" in s
+    # deeper nesting on demand
+    s2 = models.summary(models.UNet(number_filters_0=4), depth=None)
+    assert len(s2.splitlines()) >= len(s.splitlines())
+
+
+def test_diff_unet_static_loss_helpers(rng):
+    """Parity with DiffUNet's standalone metrics (diff_u_net.py:385-426)."""
+    yt = jnp.asarray(rng.uniform(0, 1, (32, 160, 32, 1)).astype(np.float32))
+    yp = jnp.asarray(rng.uniform(0, 1, (32, 160, 32, 1)).astype(np.float32))
+    d = np.asarray(yt - yp).ravel()
+    np.testing.assert_allclose(float(models.DiffUNet.mse_coef(yt, yp)),
+                               np.mean(d**2), rtol=1e-5)
+    np.testing.assert_allclose(float(models.DiffUNet.rmse_coef(yt, yp)),
+                               np.sqrt(np.mean(d**2) + 1e-12), rtol=1e-5)
+    sl = np.asarray(yt)[0:32, 0:160, 20:32, 0:1] - np.asarray(yp)[0:32, 0:160, 20:32, 0:1]
+    np.testing.assert_allclose(float(models.DiffUNet.rmse_coef_slicing(yt, yp)),
+                               np.sqrt(np.mean(sl.ravel()**2)), rtol=1e-5)
+    np.testing.assert_allclose(float(models.DiffUNet.l1_norm(yt, yp)),
+                               np.sum(np.abs(d)), rtol=1e-4)

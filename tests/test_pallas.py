@@ -56,3 +56,63 @@ class TestDefeaturizePallas:
         y = np.asarray(defeaturize_pallas(featurize_pallas(jnp.asarray(x), interpret=True), interpret=True))
         mis = 20 * np.log10(np.linalg.norm(y - x, axis=-1) / np.linalg.norm(x, axis=-1))
         assert mis.max() < -35, mis
+
+
+class TestPerDurationGrids:
+    """Duration-parametric kernels (VERDICT r1 item 6): a second, longer
+    grid keeps the fused fast path and full parity with the jnp ops."""
+
+    N04 = 19200  # 0.4 s at 48 kHz -> F=301, grid (144, 304)
+
+    def _rir_04(self, rng, b=2):
+        t = np.arange(self.N04) / ops.SAMPLE_RATE
+        x = rng.standard_normal((b, self.N04)) * np.exp(-t / 0.1)
+        x[:, 100] = 1.0
+        return x.astype(np.float32)
+
+    def test_featurize_04s_matches_jnp(self, rng):
+        wav = jnp.asarray(self._rir_04(rng))
+        golden = np.asarray(ops.featurize(wav, use_pallas=False))
+        kernel = np.asarray(featurize_pallas(wav, interpret=True))
+        assert kernel.shape == golden.shape == (2, 144, 304, 2)
+        np.testing.assert_allclose(kernel[..., 0], golden[..., 0], atol=2e-4)
+        pk = kernel[:, :129, :301, 1] * 2 * np.pi - np.pi
+        pg = golden[:, :129, :301, 1] * 2 * np.pi - np.pi
+        assert np.abs(np.angle(np.exp(1j * (pk - pg)))).max() < 2e-3
+        assert np.abs(kernel[:, 129:, :, :]).max() == 0.0
+        assert np.abs(kernel[:, :, 301:, :]).max() == 0.0
+
+    def test_defeaturize_04s_matches_jnp(self, rng):
+        wav = jnp.asarray(self._rir_04(rng))
+        feat = ops.featurize(wav, use_pallas=False)
+        shape = (129, 301)
+        golden = np.asarray(ops.defeaturize(feat, stft_shape=shape, use_pallas=False))
+        kernel = np.asarray(defeaturize_pallas(feat, stft_shape=shape, interpret=True))
+        assert kernel.shape == golden.shape == (2, self.N04)
+        scale = np.abs(golden).max()
+        np.testing.assert_allclose(kernel, golden, atol=2e-4 * scale)
+
+    def test_roundtrip_misalignment_04s(self, rng):
+        x = self._rir_04(rng)
+        x -= x.mean(axis=-1, keepdims=True)
+        y = np.asarray(defeaturize_pallas(
+            featurize_pallas(jnp.asarray(x), interpret=True),
+            stft_shape=(129, 301), interpret=True))
+        mis = 20 * np.log10(np.linalg.norm(y - x, axis=-1) / np.linalg.norm(x, axis=-1))
+        assert mis.max() < -35, mis
+
+    def test_features_dispatch_covers_hop_aligned(self):
+        """featurize/defeaturize route hop-aligned non-default durations to
+        Pallas (shape check via use_pallas=True in interpret-free CPU mode
+        is covered above; here assert the jnp/pallas outputs line up
+        through the public API)."""
+        wav = jnp.asarray(np.random.default_rng(0).standard_normal((1, 12032)).astype(np.float32))
+        f_p = np.asarray(ops.featurize(wav, use_pallas=True))
+        f_j = np.asarray(ops.featurize(wav, use_pallas=False))
+        assert f_p.shape == f_j.shape == (1, 144, 192, 2)
+        np.testing.assert_allclose(f_p[..., 0], f_j[..., 0], atol=2e-4)
+        shape = (129, 1 + 12032 // 64)
+        w_p = np.asarray(ops.defeaturize(jnp.asarray(f_j), stft_shape=shape, use_pallas=True))
+        w_j = np.asarray(ops.defeaturize(jnp.asarray(f_j), stft_shape=shape, use_pallas=False))
+        scale = np.abs(w_j).max()
+        np.testing.assert_allclose(w_p, w_j, atol=2e-4 * max(scale, 1e-6))

@@ -54,14 +54,20 @@ def test_embedding_matches_reference_sweep():
 
 
 def test_planar_zones():
+    """Exact golden mic positions per zone (reference rooms.py:59-74):
+    zones offset the array center by +-40 cm; for SmallMeetingRoom, mic 1
+    sits at x = -14 + ox + 175.5 (round-half-even of 161.5 -> 162 etc.)."""
+    golden = {
+        "E": (162, 219),
+        "A": (122, 219),
+        "B": (202, 219),
+        "C": (162, 259),
+        "D": (162, 179),
+    }
     small = rooms.ROOMS["SmallMeetingRoom"]
-    base = small.return_embedding(["SmallMeetingRoom", "E", "Planar", 1, 1])
-    for zone, (dx, dy) in {"A": (-40, 0), "B": (40, 0), "C": (0, 40), "D": (0, -40)}.items():
+    for zone, (x, y) in golden.items():
         emb = small.return_embedding(["SmallMeetingRoom", zone, "Planar", 1, 1])
-        assert emb[12] == round(base[12] - small.grid_center[0] + dx + small.grid_center[0]) or abs(
-            emb[12] - (base[12] + dx)
-        ) <= 1  # .5-rounding can shift by one either way
-        assert abs(emb[13] - (base[13] + dy)) <= 1
+        assert (emb[12], emb[13]) == (x, y), zone
 
 
 def test_planar_grid_layout():

@@ -100,3 +100,39 @@ def test_bad_array_name_raises(synth, rng):
             spec, [("ShoeBoxRoom", "A", "PlanarMicrophoneArray", 1, 1)],
             [("ShoeBoxRoom", "A", "Planar", 1, 2)],
         )
+
+
+def test_mesh_sharded_synthesis_matches_single_device(rng):
+    """DP-sharded serving over the 8-device mesh == single-device wavs
+    (multi-chip extension of the reference serve(), rir_generation.py:160-308)."""
+    from unet_rir_tpu import parallel, train
+
+    model = models.UNet(number_filters_0=4)
+    spec0 = jnp.zeros((2, 144, 160, 2), jnp.float32)
+    emb0 = jnp.zeros((2, 2, 16), jnp.int32)
+    variables = train.init_model(model, (spec0, emb0))
+
+    single = RIRSynthesizer(model, variables, batch_size=8)
+    mesh = parallel.make_mesh(n_data=8, n_spatial=1)
+    sharded = RIRSynthesizer(model, variables, batch_size=8, mesh=mesh)
+
+    spec, emb = _request(rng, 8)
+    s1, w1 = single.synthesize(spec, emb)
+    s8, w8 = sharded.synthesize(spec, emb)
+    np.testing.assert_allclose(s8, s1, atol=1e-6)
+    np.testing.assert_allclose(w8, w1, atol=1e-6)
+
+    # odd request sizes still pad/chunk correctly through the mesh path
+    s5, w5 = sharded.synthesize(spec[:5], emb[:5])
+    np.testing.assert_allclose(w5, w1[:5], atol=1e-6)
+
+
+def test_mesh_batch_divisibility_enforced():
+    from unet_rir_tpu import parallel, train
+
+    model = models.UNet(number_filters_0=4)
+    variables = train.init_model(
+        model, (jnp.zeros((2, 144, 160, 2), jnp.float32), jnp.zeros((2, 2, 16), jnp.int32)))
+    mesh = parallel.make_mesh(n_data=8, n_spatial=1)
+    with pytest.raises(ValueError, match="divide"):
+        RIRSynthesizer(model, variables, batch_size=6, mesh=mesh)

@@ -83,6 +83,12 @@ def build_argparser() -> argparse.ArgumentParser:
     # Data source.
     p.add_argument("--data-dir", default=None, help="measured corpus root")
     p.add_argument("--dataset-name", default="room_impulse")
+    p.add_argument("--extract", action="store_true",
+                   help="unpack per-array .zip archives in place first "
+                        "(reference Dataset(extract=True), dataset.py:93-115)")
+    p.add_argument("--debugging", action="store_true",
+                   help="quick-load: stop after the first array folder "
+                        "(reference Dataset(debugging=True))")
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N RIRs per room with the on-device simulator")
     p.add_argument("--duration", type=float, default=0.2,
@@ -115,7 +121,9 @@ def main(argv=None) -> int:
                                   duration=args.duration)
     elif args.data_dir:
         corpus = Corpus.from_directory(args.data_dir, args.dataset_name,
-                                       room=args.rooms, array=args.arrays)
+                                       room=args.rooms, array=args.arrays,
+                                       extract=args.extract,
+                                       debugging=args.debugging)
     else:
         raise SystemExit("Provide --data-dir or --synthetic N")
     print(f"Corpus: {len(corpus)} RIRs, {len(corpus.index_in)} pairs")

@@ -123,11 +123,14 @@ class Corpus:
         seed: int = SEED,
         feature_chunk: int = 256,
         extract: bool = False,
+        debugging: bool = False,
     ) -> "Corpus":
         """Walk the measured-dataset layout and featurize on device.
 
         extract=True first unpacks per-array .zip archives in place
         (reference Dataset.extract_files, dataset.py:93-115).
+        debugging=True stops after the first array folder that yields
+        samples — the reference's quick-load flag (dataset.py:24,127-170).
         """
         if extract:
             extract_zips(os.path.join(dir_dataset, dataset_name))
@@ -136,18 +139,26 @@ class Corpus:
 
         base = os.path.join(dir_dataset, dataset_name)
         paths, samples = [], []
+        done = False
         for room_folder in sorted(os.listdir(base)):
+            if done:
+                break
             room_path = os.path.join(base, room_folder)
             if not os.path.isdir(room_path):
                 continue
             for zone_folder in sorted(os.listdir(room_path)):
+                if done:
+                    break
                 zone_path = os.path.join(room_path, zone_folder)
                 if not os.path.isdir(zone_path):
                     continue
                 for array_folder in sorted(os.listdir(zone_path)):
+                    if done:
+                        break
                     array_path = os.path.join(zone_path, array_folder)
                     if not os.path.isdir(array_path):
                         continue
+                    n_before = len(paths)
                     for fname in sorted(os.listdir(array_path)):
                         match = _FNAME_RE.match(fname)
                         if not match:
@@ -160,6 +171,8 @@ class Corpus:
                         samples.append(
                             Sample(g["room"], g["zone"], g["array"], int(g["l"]), int(g["m"]))
                         )
+                    if debugging and len(paths) > n_before:
+                        done = True
 
         wavs = _decode_paths(paths)
         features = _featurize_chunked(wavs, feature_chunk)

@@ -58,6 +58,11 @@ class DataGenerator:
     def __len__(self) -> int:
         return len(self._pairs) // self.batch_size
 
+    @property
+    def n_samples(self) -> int:
+        """Samples in this partition before remainder drop."""
+        return len(self._pairs)
+
     def on_epoch_end(self) -> None:
         if self.shuffle:
             random.shuffle(self._epoch_pairs)

@@ -9,8 +9,11 @@ Re-designs rir_generation.py:160-361 TPU-first:
   and (optionally) writes wavs.
 * Phase timing reproduces the reference's three-phase profile
   (t_model_inference / t_postprocess / t_loss_calc, warm-up batch
-  excluded, rir_generation.py:164-168, 359-361) with
-  `block_until_ready`-bracketed timers.
+  excluded, rir_generation.py:164-168, 359-361). Timers are bracketed
+  with scalar-readback synchronization (utils.profiling.sync), NOT
+  `block_until_ready`: through the axon TPU tunnel block_until_ready
+  returns before compute finishes, so a readback of one output scalar is
+  the only reliable completion barrier (same method as bench.py).
 * A fused single-jit path (`make_generate_fn`) compiles
   forward+postprocess into one XLA program — the bench.py hot path.
 """
@@ -21,6 +24,7 @@ import dataclasses
 import functools
 import os
 import time
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +36,7 @@ from unet_rir_tpu.eval import metrics as metrics_mod
 from unet_rir_tpu.ops.features import defeaturize
 from unet_rir_tpu.ops.pad import STFT_SHAPE
 from unet_rir_tpu.train.steps import make_forward
+from unet_rir_tpu.utils.profiling import sync
 
 # Report row order (rir_generation.py:373).
 REPORT_ROOMS = ("Global", "HemiAnechoic", "Large", "Medium", "Shoe", "Small")
@@ -53,6 +58,8 @@ class EvalConfig:
     out_dir: str = "generated_rir"
     name: str = "model"
     plot_every: int = 0  # save 4 diagnostic PNGs every N samples (ref: 640)
+    mesh: Any = None  # parallel.make_mesh() for multi-chip DP evaluation
+    spatial: bool = False  # additionally shard the spectrogram width axis
 
 
 def assemble_prediction(spec_in, spec_pred, diff_gen: bool):
@@ -64,11 +71,19 @@ def assemble_prediction(spec_in, spec_pred, diff_gen: bool):
 
 
 def make_generate_fn(model, algorithm: str = "ph", diff_gen: bool = False,
-                     stft_shape: tuple[int, int] = STFT_SHAPE):
+                     stft_shape: tuple[int, int] = STFT_SHAPE,
+                     mesh=None, spatial: bool = False):
     """Fused jit: (variables, spec_in, emb) -> (spec_assembled, wav).
 
     Forward + diff reassembly + unpad + denorm + iSTFT in one XLA program —
     predictions never leave HBM until the wav (BASELINE north star).
+
+    mesh: a `parallel.make_mesh()` mesh for multi-chip inference. Inputs are
+    placed with batch-axis DP sharding (optionally width-axis 'spatial' too)
+    and variables replicated; XLA SPMD partitions the whole fused program —
+    the N-chip extension of the reference's eval forward
+    (rir_generation.py:160-308). The batch must divide by the mesh's 'data'
+    axis size.
     """
     forward = make_forward(model)
 
@@ -79,7 +94,21 @@ def make_generate_fn(model, algorithm: str = "ph", diff_gen: bool = False,
         wav = defeaturize(assembled, algorithm=algorithm, stft_shape=stft_shape)
         return assembled, wav
 
-    return generate
+    if mesh is None:
+        return generate
+
+    from unet_rir_tpu.parallel.mesh import batch_sharding, replicated
+
+    spec_s, emb_s, _ = batch_sharding(mesh, spatial)
+    rep = replicated(mesh)
+
+    def generate_sharded(variables, spec_in, emb):
+        variables = jax.device_put(variables, rep)
+        spec_in = jax.device_put(jnp.asarray(spec_in), spec_s)
+        emb = jax.device_put(jnp.asarray(emb), emb_s)
+        return generate(variables, spec_in, emb)
+
+    return generate_sharded
 
 
 @dataclasses.dataclass
@@ -115,15 +144,31 @@ def evaluate(
     stft_shape = getattr(corpus, "stft_shape", STFT_SHAPE)
     if len(gen) == 0:
         raise ValueError(
-            f"partition {partition!r} has {len(gen._pairs)} samples, fewer than "
+            f"partition {partition!r} has {gen.n_samples} samples, fewer than "
             f"batch_size={cfg.batch_size}; lower --batch-size or enlarge the corpus"
         )
     forward = make_forward(model)
+    shard = None
+    if cfg.mesh is not None:
+        # Multi-chip DP eval: replicate variables, shard every batch over
+        # the 'data' (and optionally 'spatial') mesh axes; XLA SPMD
+        # partitions forward/postprocess/metrics across chips.
+        from unet_rir_tpu.parallel.mesh import batch_sharding, replicated
+
+        if cfg.batch_size % cfg.mesh.shape.get("data", 1):
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must divide by the mesh "
+                f"'data' axis ({cfg.mesh.shape.get('data', 1)})"
+            )
+        variables = jax.device_put(variables, replicated(cfg.mesh))
+        spec_s, emb_s, _ = batch_sharding(cfg.mesh, cfg.spatial)
+        shard = (spec_s, emb_s)
 
     t_inf, t_post, t_loss = [], [], []
     per_sample: dict[str, list] = {}
     rooms: list[str] = []
     wav_batches: list[np.ndarray] = []
+    spec_batches: list[np.ndarray] = []
     plot_countdown, plot_count = 0, 0
 
     start = time.time()
@@ -131,17 +176,25 @@ def evaluate(
         spec_in, emb, spec_out = gen[i]
         idx_in, idx_out = gen.batch_indices(i)
         wav_true = jnp.take(corpus.wavs, jnp.asarray(idx_out), axis=0)
+        if shard is not None:
+            spec_s, emb_s = shard
+            spec_in = jax.device_put(spec_in, spec_s)
+            emb = jax.device_put(emb, emb_s)
+            spec_out = jax.device_put(spec_out, spec_s)
 
+        # Scalar-readback sync: one output element is read back after each
+        # phase, forcing that phase's XLA program to complete (tunnel-safe;
+        # block_until_ready does not block through the axon tunnel).
         t0 = time.time()
         pred = forward(variables, spec_in, emb)
-        pred.block_until_ready()
+        sync(pred)
         t1 = time.time()
         assembled, wav_pred = _postprocess_only(
             pred, spec_in, cfg.algorithm, cfg.diff_gen, stft_shape)
-        wav_pred.block_until_ready()
+        sync(wav_pred)
         t2 = time.time()
         batch_metrics = _score(assembled, spec_out, wav_pred, wav_true)
-        jax.block_until_ready(batch_metrics)
+        sync(batch_metrics)
         t3 = time.time()
 
         t_inf.append(t1 - t0)
@@ -153,6 +206,7 @@ def evaluate(
         rooms.extend(corpus.samples[j].room for j in idx_out)
         if cfg.save_wavs:
             wav_batches.append(np.asarray(wav_pred))
+            spec_batches.append(np.asarray(assembled))
         if cfg.plot_every:
             plot_countdown += len(idx_out)
             if plot_countdown >= cfg.plot_every:
@@ -165,7 +219,8 @@ def evaluate(
     t_global = time.time() - start
 
     if cfg.save_wavs and wav_batches:
-        _write_wavs(cfg, gen, corpus, np.concatenate(wav_batches))
+        _write_outputs(cfg, gen, corpus, np.concatenate(wav_batches),
+                       np.concatenate(spec_batches))
 
     n = len(gen) * cfg.batch_size
     # Warm-up exclusion as in the reference (rir_generation.py:359-361).
@@ -222,12 +277,17 @@ def _save_diagnostic_plots(cfg: EvalConfig, plot_count: int, assembled,
                         os.path.join(folder, f"wav_vs_wav_{plot_count}.png"))
 
 
-def _write_wavs(cfg: EvalConfig, gen: DataGenerator, corpus: Corpus, wavs: np.ndarray):
-    """Host-side wav export named by conditioning vector (postprocess.py:135-149)."""
+def _write_outputs(cfg: EvalConfig, gen: DataGenerator, corpus: Corpus,
+                   wavs: np.ndarray, specs: np.ndarray):
+    """Host-side export named by conditioning vector: per-sample wav
+    (postprocess.py:135-149) and generated-STFT .npy (postprocess.py:151-159)."""
     from unet_rir_tpu.data.wav_io import write_wav
 
-    folder = os.path.join(cfg.out_dir, f"{cfg.name}_{cfg.algorithm}", "rir")
-    os.makedirs(folder, exist_ok=True)
+    base = os.path.join(cfg.out_dir, f"{cfg.name}_{cfg.algorithm}")
+    wav_folder = os.path.join(base, "rir")
+    stft_folder = os.path.join(base, "stft")
+    os.makedirs(wav_folder, exist_ok=True)
+    os.makedirs(stft_folder, exist_ok=True)
     embeddings = np.asarray(corpus.embeddings)
     k = 0
     for i in range(len(gen)):
@@ -235,7 +295,8 @@ def _write_wavs(cfg: EvalConfig, gen: DataGenerator, corpus: Corpus, wavs: np.nd
         for j in idx_out:
             vec = embeddings[j]
             name = "RIR" + "".join(f"-{int(v)}" for v in vec)
-            write_wav(os.path.join(folder, name + ".wav"), wavs[k])
+            write_wav(os.path.join(wav_folder, name + ".wav"), wavs[k])
+            np.save(os.path.join(stft_folder, name + ".npy"), specs[k])
             k += 1
 
 

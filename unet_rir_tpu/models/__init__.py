@@ -8,7 +8,7 @@ from unet_rir_tpu.models.vqvae import VQVAE, VectorQuantizer
 from unet_rir_tpu.models.diff_unet import DiffUNet
 from unet_rir_tpu.models.ae_net import AENet
 from unet_rir_tpu.models.cnn_clas import DeepCNN
-from unet_rir_tpu.models.io import save_pretrained, load_pretrained, param_count, predict_stft
+from unet_rir_tpu.models.io import save_pretrained, load_pretrained, param_count, predict_stft, summary
 from unet_rir_tpu.models.registry import MODEL_CLASSES, MODEL_FACTORIES, build_model
 
 __all__ = [
@@ -26,6 +26,7 @@ __all__ = [
     "load_pretrained",
     "param_count",
     "predict_stft",
+    "summary",
     "MODEL_CLASSES",
     "MODEL_FACTORIES",
     "build_model",

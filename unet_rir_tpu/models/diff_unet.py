@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from unet_rir_tpu.models.layers import mode_block
@@ -70,6 +71,35 @@ class DiffUNet(nn.Module):
                 x, training=training)
 
         return nn.Conv(2, (1, 1), dtype=self.dtype, name="head")(x).astype(jnp.float32)
+
+    # Static loss helpers kept for API parity with the reference
+    # (diff_u_net.py:385-426). The training engine uses train/losses.py;
+    # these are the standalone metrics the reference exposes on the class.
+
+    @staticmethod
+    def mse_coef(y_true, y_pred):
+        """Flattened MSE (diff_u_net.py:385-393)."""
+        return jnp.mean(jnp.square(y_true.ravel() - y_pred.ravel()))
+
+    @staticmethod
+    def rmse_coef(y_true, y_pred):
+        """Flattened RMSE with the reference's 1e-12 stabilizer
+        (diff_u_net.py:395-403)."""
+        d = y_true.ravel() - y_pred.ravel()
+        return jnp.sqrt(jnp.mean(jnp.square(d)) + 1.0e-12)
+
+    @staticmethod
+    def rmse_coef_slicing(y_true, y_pred):
+        """RMSE over the fixed [0,0,20,0]->[32,160,12,1] slice the reference
+        hardcodes (diff_u_net.py:405-416)."""
+        t = jax.lax.slice(y_true, (0, 0, 20, 0), (32, 160, 32, 1))
+        p = jax.lax.slice(y_pred, (0, 0, 20, 0), (32, 160, 32, 1))
+        return jnp.sqrt(jnp.mean(jnp.square(t.ravel() - p.ravel())))
+
+    @staticmethod
+    def l1_norm(y_true, y_pred):
+        """Summed absolute error (diff_u_net.py:418-426)."""
+        return jnp.sum(jnp.abs(y_true.ravel() - y_pred.ravel()))
 
 
 __all__ = ["DiffUNet"]

@@ -90,4 +90,21 @@ def param_count(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
 
 
-__all__ = ["save_pretrained", "load_pretrained", "param_count", "predict_stft"]
+def summary(model, grid: tuple[int, int] = (144, 160), batch_size: int = 1,
+            depth: int | None = 1, **tabulate_kwargs) -> str:
+    """Architecture table — the reference's `model.summary()` equivalent
+    (u_net.py:66-76 -> flax nn.tabulate): layers, output shapes, param
+    counts. `grid` is the padded spectrogram shape; `depth` limits nesting
+    (None = fully expanded)."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    spec = jnp.zeros((batch_size,) + tuple(grid) + (2,), jnp.float32)
+    emb = jnp.zeros((batch_size, 2, 16), jnp.int32)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "sampling": jax.random.key(2)}
+    fn = nn.tabulate(model, rngs, depth=depth, **tabulate_kwargs)
+    return fn(spec, emb, training=False)
+
+
+__all__ = ["save_pretrained", "load_pretrained", "param_count", "predict_stft", "summary"]

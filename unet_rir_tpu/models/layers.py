@@ -5,8 +5,14 @@ These reproduce the *capabilities* of the reference's Keras block helpers
 
 * NHWC layout throughout (TPU conv-friendly).
 * BatchNorm uses Keras-default momentum/epsilon so loss curves are
-  comparable; cross-replica stats are per-device (documented divergence:
-  Keras MirroredStrategy BN is also per-replica — SURVEY.md §7 hard part 4).
+  comparable. Under data parallelism, batch statistics are GLOBAL: the
+  DP path is jit + GSPMD (global-view SPMD), so the batch-axis mean/var
+  inside nn.BatchNorm is computed over the full global batch and XLA
+  inserts the cross-chip collectives automatically — sync-BN for free
+  (verified: tests/test_parallel.py::test_dp_with_batchnorm_matches_
+  single_device). This is a deliberate improvement over the reference,
+  whose Keras MirroredStrategy BN is per-replica (SURVEY.md §7 hard
+  part 4); it makes DP loss curves exactly device-count-invariant.
 * A configurable compute dtype (bfloat16 on TPU) with float32 params.
 * Conv layers that carry L2(0.001) weight penalties in the reference are
   given the name prefix ``reg_`` so the loss layer can collect them

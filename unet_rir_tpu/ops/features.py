@@ -11,10 +11,12 @@ Composes the L1 ops into the two hot pipelines:
   unpad -> denormalize -> A*exp(j*phi) -> iSTFT (or Griffin-Lim) -> wav,
   all on device; only the final host write leaves HBM.
 
-On TPU, the standard shapes dispatch to the fused Pallas kernels
-(ops.pallas.stft_pallas — measured 3.7x / 1.3x over the XLA-FFT path);
-everything else (CPU, odd shapes, Griffin-Lim, gradients) uses the pure
-jnp path. Both paths are shape-static and numerically equivalent to ~1e-6.
+On TPU, any hop-aligned duration dispatches to the fused Pallas kernels
+(ops.pallas.stft_pallas — measured 3.7x / 1.3x over the XLA-FFT path at
+the default 0.2 s grid; the kernels are duration-parametric, so long-RIR
+grids keep the fast path). Everything else (CPU, hop-unaligned lengths,
+Griffin-Lim) uses the pure jnp path. Both paths are shape-static and
+numerically equivalent to ~1e-6.
 """
 
 from __future__ import annotations
@@ -25,8 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from unet_rir_tpu.ops.normalize import denormalize, normalize
-from unet_rir_tpu.ops.pad import MODEL_SHAPE, STFT_SHAPE, crop_to, model_shape_for, pad_to
-from unet_rir_tpu.ops.stft import HOP_LENGTH, N_SAMPLES, griffin_lim, istft, stft_amp_phase
+from unet_rir_tpu.ops.pad import STFT_SHAPE, crop_to, model_shape_for, pad_to
+from unet_rir_tpu.ops.stft import HOP_LENGTH, N_BINS, griffin_lim, istft, stft_amp_phase
 
 
 def _featurize_jnp(wav: jnp.ndarray) -> jnp.ndarray:
@@ -42,15 +44,20 @@ def _featurize_jnp(wav: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
 def featurize(wav: jnp.ndarray, use_pallas: bool | None = None) -> jnp.ndarray:
-    """wav (..., T) -> feature (..., 144, 160, 2) float32 in [0, 1]."""
+    """wav (..., T) -> feature (..., H, W, 2) float32 in [0, 1].
+
+    H, W = model_shape_for the duration's STFT grid ((144, 160) at 0.2 s).
+    """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and wav.shape[-1] == N_SAMPLES and wav.ndim >= 2:
+    n = wav.shape[-1]
+    if use_pallas and n % HOP_LENGTH == 0 and wav.ndim >= 2:
         from unet_rir_tpu.ops.pallas.stft_pallas import featurize_pallas
 
+        grid = model_shape_for((N_BINS, 1 + n // HOP_LENGTH))
         lead = wav.shape[:-1]
-        flat = wav.reshape((-1, N_SAMPLES))
-        return featurize_pallas(flat).reshape(lead + MODEL_SHAPE + (2,))
+        flat = wav.reshape((-1, n))
+        return featurize_pallas(flat).reshape(lead + grid + (2,))
     return _featurize_jnp(wav)
 
 
@@ -87,19 +94,21 @@ def defeaturize(
         length = HOP_LENGTH * (stft_shape[1] - 1)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    n_native = HOP_LENGTH * (stft_shape[1] - 1)
+    grid = feature.shape[-3:-1]
     if (
         use_pallas
         and algorithm == "ph"
-        and stft_shape == STFT_SHAPE
         and feature.ndim >= 4
-        and feature.shape[-3:] == MODEL_SHAPE + (2,)
-        and length <= N_SAMPLES
+        and grid == model_shape_for(stft_shape)
+        and length <= n_native
     ):
         from unet_rir_tpu.ops.pallas.stft_pallas import defeaturize_pallas
 
         lead = feature.shape[:-3]
-        flat = feature.reshape((-1,) + MODEL_SHAPE + (2,))
-        wav = defeaturize_pallas(flat).reshape(lead + (N_SAMPLES,))
+        flat = feature.reshape((-1,) + tuple(grid) + (2,))
+        wav = defeaturize_pallas(flat, stft_shape=tuple(stft_shape))
+        wav = wav.reshape(lead + (n_native,))
         return wav[..., :length]
     return _defeaturize_jnp(feature, algorithm, length, stft_shape)
 

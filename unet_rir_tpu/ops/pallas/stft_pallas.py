@@ -4,14 +4,21 @@ Two kernels (SURVEY.md §7 step 7), each fusing the math-dense middle of a
 feature pipeline into one VMEM-resident program:
 
 * `featurize_pallas`: windowed-DFT + |.|/angle + dB-normalize + pad,
-  wav (B, 9600) -> (B, 144, 160, 2). The length-256 rfft is computed as
-  two real matmuls against windowed DFT tables — (256,129)x(151,256)
+  wav (B, n_samples) -> (B, H, W, 2). The length-256 rfft is computed as
+  two real matmuls against windowed DFT tables — (256,129)x(F,256)
   contractions land on the MXU where a radix-FFT of this size cannot,
   and the magnitude/atan2/log/normalize chain runs on the VPU without
   materializing any intermediate in HBM.
 * `defeaturize_pallas`: crop + denormalize + A*e^{j phi} +
-  irfft-as-matmul, (B, 144, 160, 2) -> time frames, followed by an XLA
+  irfft-as-matmul, (B, H, W, 2) -> time frames, followed by an XLA
   overlap-add. Fuses denorm + cos/sin + two MXU matmuls.
+
+Both kernels are duration-parametric (VERDICT r1 item 6): any hop-aligned
+RIR length keeps the fused fast path — the frame count F = 1 + n/hop and
+the /16 model grid (ops.pad.model_shape_for) are compile-time constants
+baked per shape, e.g. 0.2 s -> F=151, grid (144,160); 0.4 s -> F=301,
+grid (144,304). VMEM footprint grows ~F*256*4 B per block (301 frames
+= 308 KiB), far under the ~16 MiB budget for any practical RIR tail.
 
 Layout notes (why framing/OLA stay in XLA): the hop (64) is half the TPU
 lane width, so frame gathers and overlap-add scatters sit at 64-sample
@@ -40,21 +47,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from unet_rir_tpu.ops.pad import model_shape_for
 from unet_rir_tpu.ops.stft import (
     HOP_LENGTH,
     N_BINS,
     N_FFT,
-    N_FRAMES,
-    N_SAMPLES,
     WIN_LENGTH,
     _ola_fixed_hop,
     _padded_window,
     _window_sumsquare,
     frame_signal,
 )
-
-_H_PAD, _W_PAD = 144, 160  # model grid
-_OLA_LEN = N_FFT + HOP_LENGTH * (N_FRAMES - 1)  # 9856
 
 
 def _interpret_default() -> bool:
@@ -107,9 +110,8 @@ def _analysis_tables() -> tuple[np.ndarray, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=None)
-def _synthesis_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Inverse tables ICr/ICi (129, 256) with window+weights+1/N folded,
-    plus the reciprocal window-sum envelope (OLA_LEN,)."""
+def _synthesis_tables() -> tuple[np.ndarray, np.ndarray]:
+    """Inverse tables ICr/ICi (129, 256) with window+weights+1/N folded."""
     w = _padded_window(N_FFT, WIN_LENGTH, np.float64)
     k = np.arange(N_BINS)[:, None]
     n = np.arange(N_FFT)[None, :]
@@ -118,65 +120,85 @@ def _synthesis_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     weight[0] = weight[-1] = 1.0
     icr = (weight / N_FFT * np.cos(ang) * w[None, :]).astype(np.float32)
     ici = (-weight / N_FFT * np.sin(ang) * w[None, :]).astype(np.float32)
-    wss = _window_sumsquare(N_FRAMES, N_FFT, WIN_LENGTH, HOP_LENGTH)
+    return icr, ici
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_envelope(n_frames: int) -> np.ndarray:
+    """Reciprocal window-sum-of-squares envelope for one frame count."""
+    wss = _window_sumsquare(n_frames, N_FFT, WIN_LENGTH, HOP_LENGTH)
     tiny = np.finfo(np.float32).tiny
-    inv = np.where(wss > tiny, 1.0 / np.maximum(wss, tiny), 1.0).astype(np.float32)
-    return icr, ici, inv
+    return np.where(wss > tiny, 1.0 / np.maximum(wss, tiny), 1.0).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
-# featurize: wav -> normalized padded (144, 160, 2)
+# featurize: wav -> normalized padded (H, W, 2)
 # ---------------------------------------------------------------------------
 
 
-def _featurize_kernel(frames_ref, c_ref, s_ref, amp_ref, pha_ref):
-    f = frames_ref[0]  # (151, 256)
-    # (129, 151) spectra directly: contract the n axis of C with frames.
-    dims = (((0,), (1,)), ((), ()))
-    # precision=HIGHEST: default TPU f32 matmul uses bf16 passes, which is
-    # far too coarse in the dB/phase domain.
-    re = jax.lax.dot_general(c_ref[:], f, dims, precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)
-    im = jax.lax.dot_general(s_ref[:], f, dims, precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)
-    amp = jnp.sqrt(re * re + im * im)
-    phase = _atan2(im, re)
-    # 20*log10(a) == (20/ln 10)*ln(a); Mosaic has exp/log primitives.
-    amp_n = ((20.0 / math.log(10.0)) * jnp.log(amp / 128.0 + 1e-5) + 100.0) / 100.0
-    pha_n = (phase + math.pi) / (2.0 * math.pi)
+def _make_featurize_kernel(n_frames: int, h_pad: int, w_pad: int):
+    def kernel(frames_ref, c_ref, s_ref, amp_ref, pha_ref):
+        f = frames_ref[0]  # (n_frames, 256)
+        # (129, n_frames) spectra directly: contract the n axis of C.
+        dims = (((0,), (1,)), ((), ()))
+        # precision=HIGHEST: default TPU f32 matmul uses bf16 passes, which
+        # is far too coarse in the dB/phase domain.
+        re = jax.lax.dot_general(c_ref[:], f, dims, precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32)
+        im = jax.lax.dot_general(s_ref[:], f, dims, precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32)
+        amp = jnp.sqrt(re * re + im * im)
+        phase = _atan2(im, re)
+        # 20*log10(a) == (20/ln 10)*ln(a); Mosaic has exp/log primitives.
+        amp_n = ((20.0 / math.log(10.0)) * jnp.log(amp / 128.0 + 1e-5) + 100.0) / 100.0
+        pha_n = (phase + math.pi) / (2.0 * math.pi)
 
-    amp_ref[0] = jnp.zeros((_H_PAD, _W_PAD), jnp.float32)
-    pha_ref[0] = jnp.zeros((_H_PAD, _W_PAD), jnp.float32)
-    amp_ref[0, 0:N_BINS, 0:N_FRAMES] = amp_n
-    pha_ref[0, 0:N_BINS, 0:N_FRAMES] = pha_n
+        amp_ref[0] = jnp.zeros((h_pad, w_pad), jnp.float32)
+        pha_ref[0] = jnp.zeros((h_pad, w_pad), jnp.float32)
+        amp_ref[0, 0:N_BINS, 0:n_frames] = amp_n
+        pha_ref[0, 0:N_BINS, 0:n_frames] = pha_n
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def featurize_pallas(wav: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
-    """wav (B, 9600) -> (B, 144, 160, 2); parity with ops.features.featurize."""
+    """wav (B, n) hop-aligned -> (B, H, W, 2); parity with ops.features.featurize.
+
+    The frame count 1 + n/hop and the /16 model grid are static per input
+    length; any hop-multiple duration compiles its own fused program.
+    """
     if interpret is None:
         interpret = _interpret_default()
+    n_samples = wav.shape[-1]
+    if n_samples % HOP_LENGTH:
+        raise ValueError(
+            f"featurize_pallas requires hop-aligned input; got {n_samples} "
+            f"(hop {HOP_LENGTH}) — use the jnp fallback for odd lengths"
+        )
+    n_frames = 1 + n_samples // HOP_LENGTH
+    h_pad, w_pad = model_shape_for((N_BINS, n_frames))
     wav = wav - jnp.mean(wav, axis=-1, keepdims=True)
     x = jnp.pad(wav, ((0, 0), (N_FFT // 2, N_FFT // 2)), mode="reflect")
-    frames = frame_signal(x, N_FFT, HOP_LENGTH)  # (B, 151, 256) XLA gather
+    frames = frame_signal(x, N_FFT, HOP_LENGTH)  # (B, n_frames, 256) XLA gather
     c, s = _analysis_tables()
     b = wav.shape[0]
 
     amp, pha = pl.pallas_call(
-        _featurize_kernel,
+        _make_featurize_kernel(n_frames, h_pad, w_pad),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, N_FRAMES, N_FFT), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_frames, N_FFT), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N_FFT, N_BINS), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N_FFT, N_BINS), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, _H_PAD, _W_PAD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _H_PAD, _W_PAD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_pad, w_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_pad, w_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, _H_PAD, _W_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((b, _H_PAD, _W_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.float32),
         ),
         interpret=interpret,
     )(frames, jnp.asarray(c), jnp.asarray(s))
@@ -184,58 +206,78 @@ def featurize_pallas(wav: jnp.ndarray, interpret: bool | None = None) -> jnp.nda
 
 
 # ---------------------------------------------------------------------------
-# defeaturize: (144, 160, 2) -> wav (9600,)
+# defeaturize: (H, W, 2) -> wav (n,)
 # ---------------------------------------------------------------------------
 
 
-def _defeaturize_kernel(amp_ref, pha_ref, icr_ref, ici_ref, frames_ref):
-    amp_n = amp_ref[0, 0:N_BINS, 0:N_FRAMES]
-    pha_n = pha_ref[0, 0:N_BINS, 0:N_FRAMES]
-    # Denormalize (exact inverse formulas, preprocess.py:34-41).
-    db = amp_n * 100.0 - 100.0
-    amp = (jnp.exp(db * (math.log(10.0) / 20.0)) - 1e-5) * 128.0
-    phase = pha_n * (2.0 * math.pi) - math.pi
-    re = amp * jnp.cos(phase)  # (129, 151)
-    im = amp * jnp.sin(phase)
+def _make_defeaturize_kernel(n_frames: int):
+    def kernel(amp_ref, pha_ref, icr_ref, ici_ref, frames_ref):
+        amp_n = amp_ref[0, 0:N_BINS, 0:n_frames]
+        pha_n = pha_ref[0, 0:N_BINS, 0:n_frames]
+        # Denormalize (exact inverse formulas, preprocess.py:34-41).
+        db = amp_n * 100.0 - 100.0
+        amp = (jnp.exp(db * (math.log(10.0) / 20.0)) - 1e-5) * 128.0
+        phase = pha_n * (2.0 * math.pi) - math.pi
+        re = amp * jnp.cos(phase)  # (129, n_frames)
+        im = amp * jnp.sin(phase)
 
-    # irfft as two MXU matmuls: contract the bin axis -> (151, 256).
-    dims = (((0,), (0,)), ((), ()))
-    frames = jax.lax.dot_general(
-        re, icr_ref[:], dims, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        im, ici_ref[:], dims, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    frames_ref[0] = frames
+        # irfft as two MXU matmuls: contract the bin axis -> (n_frames, 256).
+        dims = (((0,), (0,)), ((), ()))
+        frames = jax.lax.dot_general(
+            re, icr_ref[:], dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            im, ici_ref[:], dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        frames_ref[0] = frames
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def defeaturize_pallas(feature: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
-    """feature (B, 144, 160, 2) -> wav (B, 9600); 'ph' algorithm parity."""
+@functools.partial(jax.jit, static_argnames=("stft_shape", "interpret"))
+def defeaturize_pallas(
+    feature: jnp.ndarray,
+    stft_shape: tuple[int, int] = (N_BINS, 151),
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """feature (B, H, W, 2) -> wav (B, hop*(n_frames-1)); 'ph' algorithm parity.
+
+    stft_shape = (n_bins, n_frames) of the unpadded grid inside the padded
+    feature (the frame count is NOT recoverable from the /16 grid alone);
+    default is the 0.2 s grid (129, 151).
+    """
     if interpret is None:
         interpret = _interpret_default()
-    icr, ici, inv = _synthesis_tables()
+    h_pad, w_pad = feature.shape[-3], feature.shape[-2]
+    n_frames = int(stft_shape[1])
+    if n_frames > w_pad or N_BINS > h_pad:
+        raise ValueError(
+            f"stft_shape ({N_BINS},{n_frames}) does not fit the padded "
+            f"feature grid ({h_pad},{w_pad})"
+        )
+    n_out = HOP_LENGTH * (n_frames - 1)
+    icr, ici = _synthesis_tables()
     b = feature.shape[0]
 
     frames = pl.pallas_call(
-        _defeaturize_kernel,
+        _make_defeaturize_kernel(n_frames),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, _H_PAD, _W_PAD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _H_PAD, _W_PAD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_pad, w_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_pad, w_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N_BINS, N_FFT), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N_BINS, N_FFT), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, N_FRAMES, N_FFT), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, N_FRAMES, N_FFT), jnp.float32),
+        out_specs=pl.BlockSpec((1, n_frames, N_FFT), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_frames, N_FFT), jnp.float32),
         interpret=interpret,
     )(feature[..., 0], feature[..., 1], jnp.asarray(icr), jnp.asarray(ici))
 
     # Overlap-add (4 non-overlapping residue groups) + window-sum division
     # + center crop — XLA reshapes/adds (ops.stft._ola_fixed_hop).
-    y = _ola_fixed_hop(frames, N_FFT, HOP_LENGTH) * jnp.asarray(inv)
-    return y[..., N_FFT // 2 : N_FFT // 2 + N_SAMPLES]
+    y = _ola_fixed_hop(frames, N_FFT, HOP_LENGTH) * jnp.asarray(_inv_envelope(n_frames))
+    return y[..., N_FFT // 2 : N_FFT // 2 + n_out]
 
 
 __all__ = ["featurize_pallas", "defeaturize_pallas"]

@@ -34,23 +34,40 @@ class RIRSynthesizer:
       batch_size: the compiled batch (128 is the measured v5e sweet spot).
       algorithm: 'ph' (amp+phase iSTFT) or 'gl' (Griffin-Lim).
       diff_gen: reassemble diff-phase predictions against the input phase.
+      mesh: a `parallel.make_mesh()` mesh for multi-chip serving — requests
+        are sharded over the 'data' axis (and optionally 'spatial'),
+        variables replicated once at construction; XLA SPMD partitions the
+        fused synthesis program across chips.
     """
 
     def __init__(self, model, variables: dict, batch_size: int = 128,
                  algorithm: str = "ph", diff_gen: bool = False,
-                 stft_shape: tuple[int, int] = STFT_SHAPE):
+                 stft_shape: tuple[int, int] = STFT_SHAPE,
+                 mesh=None, spatial: bool = False):
         self.model = model
-        self.variables = variables
         self.batch_size = batch_size
         self.algorithm = algorithm
         self.diff_gen = diff_gen
+        self.mesh = mesh
         # Serving grid for this model's RIR duration (default 0.2 s ->
         # (129,151) -> (144,160) grid, 9600-sample wavs).
         self.stft_shape = tuple(stft_shape)
         self.grid = model_shape_for(self.stft_shape)
         self.n_samples = HOP_LENGTH * (self.stft_shape[1] - 1)
+        if mesh is not None:
+            n_data = mesh.shape.get("data", 1)
+            if batch_size % n_data:
+                raise ValueError(
+                    f"batch_size={batch_size} must divide by the mesh 'data' "
+                    f"axis ({n_data}) for even per-chip shards"
+                )
+            from unet_rir_tpu.parallel.mesh import replicated
+
+            variables = jax.device_put(variables, replicated(mesh))
+        self.variables = variables
         self._generate = make_generate_fn(model, algorithm=algorithm,
-                                          diff_gen=diff_gen, stft_shape=self.stft_shape)
+                                          diff_gen=diff_gen, stft_shape=self.stft_shape,
+                                          mesh=mesh, spatial=spatial)
 
     @classmethod
     def from_pretrained(cls, folder: str, **kwargs) -> "RIRSynthesizer":

@@ -68,7 +68,8 @@ class History:
         with open(path, "w") as f:
             f.write(",".join(["epoch"] + keys) + "\n")
             for i, row in enumerate(self.rows):
-                f.write(",".join([str(i)] + [repr(row.get(k, "")) for k in keys]) + "\n")
+                cells = [str(row[k]) if k in row else "" for k in keys]
+                f.write(",".join([str(i)] + cells) + "\n")
 
     def plot(self, folder: str, name: str):
         """Loss-curve PNGs (reference plot_graphs, trainer.py:248-277)."""
