@@ -86,12 +86,23 @@ def bench_tpu(batch: int = BATCH) -> float:
     return batch / per_iter
 
 
-def bench_train() -> dict:
+def bench_train(budget_s: float = 300.0) -> dict:
     """Secondary: train-step throughput + MFU (VERDICT r1 item 5), using
-    tools/measure_train_mfu.py's chained-step method. Never fatal."""
-    try:
-        import sys
+    tools/measure_train_mfu.py's chained-step method. Never fatal, and
+    bounded by a SIGALRM deadline so a degraded tunnel cannot stall the
+    whole bench (exceptions are caught below, but hangs would not be)."""
+    import signal
+    import sys
 
+    class _Deadline(Exception):
+        pass
+
+    def _raise(signum, frame):
+        raise _Deadline(f"exceeded {budget_s:.0f}s budget")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(int(budget_s))
+    try:
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
         from measure_train_mfu import measure
 
@@ -101,9 +112,12 @@ def bench_train() -> dict:
         if "mfu_pct" in r:
             out["train_mfu_pct"] = r["mfu_pct"]
         return out
-    except Exception as e:
+    except (Exception, _Deadline) as e:
         print(f"# train bench skipped: {e!r}", flush=True)
         return {}
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def main() -> None:
@@ -111,6 +125,7 @@ def main() -> None:
     # sizes before giving up so a transient stall doesn't zero the round.
     value = None
     batch = BATCH
+    t_bench0 = time.perf_counter()
     for attempt_batch in (BATCH, 64, 32):
         try:
             value = bench_tpu(attempt_batch)
@@ -139,7 +154,14 @@ def main() -> None:
         "unit": "rirs/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
     }
-    record.update(bench_train())
+    # Only attempt the secondary train bench when the tunnel looks healthy:
+    # a slow synthesis bench means degraded transport, and the train bench
+    # would burn the round's remaining time for nothing.
+    if time.perf_counter() - t_bench0 < 240.0:
+        record.update(bench_train())
+    else:
+        print("# train bench skipped: synthesis bench was slow (degraded tunnel)",
+              flush=True)
     print(json.dumps(record))
 
 

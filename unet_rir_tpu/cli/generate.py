@@ -39,6 +39,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dataset-name", default="room_impulse")
     p.add_argument("--extract", action="store_true",
                    help="unpack per-array .zip archives in place first")
+    p.add_argument("--debugging", action="store_true",
+                   help="quick-load: stop after the first array folder "
+                        "(reference Dataset(debugging=True))")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--duration", type=float, default=0.2)
     p.add_argument("--save-wavs", action="store_true")
@@ -61,7 +64,8 @@ def main(argv=None) -> int:
     elif args.data_dir:
         corpus = Corpus.from_directory(args.data_dir, args.dataset_name,
                                        room=args.rooms, array=args.arrays,
-                                       extract=args.extract)
+                                       extract=args.extract,
+                                       debugging=args.debugging)
     else:
         raise SystemExit("Provide --data-dir or --synthetic N")
 
