@@ -179,3 +179,51 @@ def test_evaluate_saves_wavs_and_stfts(corpus, tmp_path):
     assert all(w.startswith("RIR-") and w.endswith(".wav") for w in wavs)
     spec = np.load(os.path.join(stft_dir, npys[0]))
     assert spec.shape == (144, 160, 2) and np.all(np.isfinite(spec))
+
+
+class TestFusedEvaluate:
+    """EvalConfig(fused=True): whole-split scan phases == per-batch loop."""
+
+    def _setup(self, corpus):
+        model = models.UNet(number_filters_0=4)
+        sample = (corpus.features[:2],
+                  jnp.stack([corpus.embeddings[:2]] * 2, axis=1))
+        variables = train.init_model(model, sample)
+        return model, variables
+
+    def test_fused_matches_loop(self, corpus):
+        model, variables = self._setup(corpus)
+        r_loop = eval_mod.evaluate(model, variables, corpus,
+                                   eval_mod.EvalConfig(batch_size=2))
+        r_fused = eval_mod.evaluate(model, variables, corpus,
+                                    eval_mod.EvalConfig(batch_size=2, fused=True))
+        assert r_loop.n_samples == r_fused.n_samples
+        assert r_loop.rooms == r_fused.rooms
+        for k in r_loop.per_sample:
+            np.testing.assert_allclose(r_fused.per_sample[k],
+                                       r_loop.per_sample[k],
+                                       rtol=1e-4, atol=1e-6, err_msg=k)
+        for k in ("t_model_inference_avg", "t_postprocess", "t_loss_calc",
+                  "t_global"):
+            assert r_fused.timing[k] >= 0.0
+
+    def test_fused_diff_gen_matches_loop(self, corpus):
+        model, variables = self._setup(corpus)
+        cfg = dict(batch_size=2, diff_gen=True)
+        r_loop = eval_mod.evaluate(model, variables, corpus,
+                                   eval_mod.EvalConfig(**cfg))
+        r_fused = eval_mod.evaluate(model, variables, corpus,
+                                    eval_mod.EvalConfig(fused=True, **cfg))
+        for k in r_loop.per_sample:
+            np.testing.assert_allclose(r_fused.per_sample[k],
+                                       r_loop.per_sample[k],
+                                       rtol=1e-4, atol=1e-6, err_msg=k)
+
+    def test_fused_save_wavs(self, corpus, tmp_path):
+        model, variables = self._setup(corpus)
+        cfg = eval_mod.EvalConfig(batch_size=2, fused=True, save_wavs=True,
+                                  name="fused", out_dir=str(tmp_path))
+        result = eval_mod.evaluate(model, variables, corpus, cfg)
+        wavs = os.listdir(os.path.join(str(tmp_path), "fused_ph", "rir"))
+        npys = os.listdir(os.path.join(str(tmp_path), "fused_ph", "stft"))
+        assert len(wavs) == len(npys) == result.n_samples

@@ -256,3 +256,26 @@ def test_dp_with_batchnorm_matches_single_device():
     p1 = jax.tree_util.tree_leaves(s1.params)[0]
     p2 = jax.tree_util.tree_leaves(s2.params)[0]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-6)
+
+
+def test_fused_sharded_evaluate_matches_single_device():
+    """Fused (whole-split scan) eval under mesh DP == single-device."""
+    from unet_rir_tpu.data.corpus import Corpus
+    from unet_rir_tpu.eval import generation as eval_mod
+
+    corpus = Corpus.synthetic(n_per_room=8, max_order=2)
+    model = models.UNet(number_filters_0=4)
+    sample = (corpus.features[:2],
+              jnp.stack([corpus.embeddings[:2]] * 2, axis=1))
+    variables = train.init_model(model, sample)
+
+    r1 = eval_mod.evaluate(model, variables, corpus,
+                           eval_mod.EvalConfig(batch_size=4, fused=True))
+    mesh = parallel.make_mesh(n_data=4, n_spatial=2)
+    r2 = eval_mod.evaluate(
+        model, variables, corpus,
+        eval_mod.EvalConfig(batch_size=4, fused=True, mesh=mesh, spatial=True))
+    assert r1.n_samples == r2.n_samples
+    for k in r1.per_sample:
+        np.testing.assert_allclose(r1.per_sample[k], r2.per_sample[k],
+                                   rtol=1e-4, atol=1e-6, err_msg=k)

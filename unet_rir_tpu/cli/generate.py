@@ -45,6 +45,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--duration", type=float, default=0.2)
     p.add_argument("--save-wavs", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="whole-split lax.scan evaluation (3 device dispatches "
+                        "total) — the fast path for remote/tunneled hosts")
     p.add_argument("--plot-every", type=int, default=0,
                    help="save 4 diagnostic PNGs every N samples (reference: 640)")
     p.add_argument("--bf16", action="store_true")
@@ -113,6 +116,7 @@ def main(argv=None) -> int:
             out_dir=args.saving_path,
             name=name,
             plot_every=args.plot_every,
+            fused=args.fused,
         )
         result = evaluate(model, variables, corpus, cfg)
         folder = write_reports(result, args.saving_path, name, args.algorithm)

@@ -16,6 +16,11 @@ Re-designs rir_generation.py:160-361 TPU-first:
   the only reliable completion barrier (same method as bench.py).
 * A fused single-jit path (`make_generate_fn`) compiles
   forward+postprocess into one XLA program — the bench.py hot path.
+* `EvalConfig(fused=True)` evaluates the WHOLE split in three device
+  dispatches (one lax.scan per reference phase) — batches are HBM index
+  gathers inside the scan, so per-batch host round-trips disappear. This
+  is the high-throughput path for remote/tunneled hosts; the default
+  per-batch loop stays reference-faithful.
 """
 
 from __future__ import annotations
@@ -60,6 +65,7 @@ class EvalConfig:
     plot_every: int = 0  # save 4 diagnostic PNGs every N samples (ref: 640)
     mesh: Any = None  # parallel.make_mesh() for multi-chip DP evaluation
     spatial: bool = False  # additionally shard the spectrogram width axis
+    fused: bool = False  # whole-split lax.scan phases (3 dispatches total)
 
 
 def assemble_prediction(spec_in, spec_pred, diff_gen: bool):
@@ -147,6 +153,8 @@ def evaluate(
             f"partition {partition!r} has {gen.n_samples} samples, fewer than "
             f"batch_size={cfg.batch_size}; lower --batch-size or enlarge the corpus"
         )
+    if cfg.fused:
+        return _evaluate_fused(model, variables, corpus, cfg, gen, stft_shape)
     forward = make_forward(model)
     shard = None
     if cfg.mesh is not None:
@@ -233,6 +241,142 @@ def evaluate(
     }
     return EvalResult(
         per_sample={k: np.concatenate(v) for k, v in per_sample.items()},
+        rooms=rooms,
+        timing=timing,
+        n_samples=n,
+        batch_size=cfg.batch_size,
+    )
+
+
+def _evaluate_fused(model, variables, corpus, cfg: EvalConfig,
+                    gen: DataGenerator, stft_shape) -> EvalResult:
+    """Whole-split evaluation in THREE device dispatches (one lax.scan per
+    reference phase: forward / postprocess / metrics) instead of 3 host
+    round-trips per batch.
+
+    TPU-first redesign of the reference's eval loop (rir_generation.py:
+    160-308): batches are index-gathers from the HBM-resident corpus inside
+    the scan, so the host only submits three programs and reads scalars.
+    Phase timing semantics match the reference's three-phase profile, but
+    warm-up exclusion is replaced by ahead-of-time compilation (lower/
+    compile before timing), which removes compile cost from every phase
+    rather than just dropping batch 1.
+    """
+    forward = make_forward(model)
+    spec_cons = emb_cons = None
+    if cfg.mesh is not None:
+        from unet_rir_tpu.parallel.mesh import batch_sharding, replicated
+
+        if cfg.batch_size % cfg.mesh.shape.get("data", 1):
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must divide by the mesh "
+                f"'data' axis ({cfg.mesh.shape.get('data', 1)})"
+            )
+        variables = jax.device_put(variables, replicated(cfg.mesh))
+        spec_cons, emb_cons, _ = batch_sharding(cfg.mesh, cfg.spatial)
+
+    def _shard(spec, emb=None):
+        if spec_cons is None:
+            return spec, emb
+        spec = jax.lax.with_sharding_constraint(spec, spec_cons)
+        if emb is not None:
+            emb = jax.lax.with_sharding_constraint(emb, emb_cons)
+        return spec, emb
+
+    algorithm, diff_gen = cfg.algorithm, cfg.diff_gen
+
+    @jax.jit
+    def fwd_all(variables, feats, embs, idx_in, idx_out):
+        def body(_, idx):
+            ii, io = idx
+            spec_in = jnp.take(feats, ii, axis=0)
+            emb = jnp.stack([jnp.take(embs, ii, axis=0),
+                             jnp.take(embs, io, axis=0)], axis=1)
+            spec_in, emb = _shard(spec_in, emb)
+            return 0, forward(variables, spec_in, emb)
+
+        _, preds = jax.lax.scan(body, 0, (idx_in, idx_out))
+        return preds  # (n_batches, B, H, W, 2)
+
+    @jax.jit
+    def post_all(preds, feats, idx_in):
+        def body(_, x):
+            pred, ii = x
+            spec_in, _ = _shard(jnp.take(feats, ii, axis=0))
+            assembled = assemble_prediction(spec_in, pred, diff_gen)
+            wav = defeaturize(assembled, algorithm=algorithm, stft_shape=stft_shape)
+            return 0, (assembled, wav)
+
+        _, (assembled, wavs) = jax.lax.scan(body, 0, (preds, idx_in))
+        return assembled, wavs
+
+    @jax.jit
+    def score_all(assembled, feats, corpus_wavs, wav_pred, idx_out):
+        def body(_, x):
+            a, w, io = x
+            spec_out = jnp.take(feats, io, axis=0)
+            wav_true = jnp.take(corpus_wavs, io, axis=0)
+            return 0, _score(a, spec_out, w, wav_true)
+
+        _, m = jax.lax.scan(body, 0, (assembled, wav_pred, idx_out))
+        return m  # dict of (n_batches, B)
+
+    idx_in_np, idx_out_np = gen.epoch_indices()  # shuffle=False: stable order
+    idx_in = jnp.asarray(idx_in_np)
+    idx_out = jnp.asarray(idx_out_np)
+    feats, embs, corpus_wavs = corpus.features, corpus.embeddings, corpus.wavs
+
+    start = time.time()
+    # AOT-compile each phase so timing excludes compilation entirely.
+    c_fwd = fwd_all.lower(variables, feats, embs, idx_in, idx_out).compile()
+
+    t0 = time.time()
+    preds = c_fwd(variables, feats, embs, idx_in, idx_out)
+    sync(preds)
+    t1 = time.time()
+    c_post = post_all.lower(preds, feats, idx_in).compile()
+    t2 = time.time()
+    assembled, wav_pred = c_post(preds, feats, idx_in)
+    sync(wav_pred)
+    t3 = time.time()
+    c_score = score_all.lower(assembled, feats, corpus_wavs, wav_pred, idx_out).compile()
+    t4 = time.time()
+    batch_metrics = c_score(assembled, feats, corpus_wavs, wav_pred, idx_out)
+    sync(batch_metrics)
+    t5 = time.time()
+    t_global = time.time() - start
+
+    n_batches = len(gen)
+    n = n_batches * cfg.batch_size
+    per_sample = {k: np.asarray(v).reshape(n) for k, v in batch_metrics.items()}
+    rooms = [corpus.samples[j].room for j in idx_out_np.reshape(-1)]
+
+    if cfg.save_wavs:
+        _write_outputs(cfg, gen, corpus,
+                       np.asarray(wav_pred).reshape((n,) + wav_pred.shape[2:]),
+                       np.asarray(assembled).reshape((n,) + assembled.shape[2:]))
+    if cfg.plot_every:
+        countdown, plot_count = 0, 0
+        for i in range(n_batches):
+            countdown += cfg.batch_size
+            if countdown >= cfg.plot_every:
+                countdown = 0
+                spec_out_b = jnp.take(feats, idx_out[i], axis=0)
+                wav_true_b = jnp.take(corpus_wavs, idx_out[i], axis=0)
+                _save_diagnostic_plots(
+                    cfg, plot_count, assembled[i], spec_out_b, wav_pred[i],
+                    wav_true_b, corpus.samples[int(idx_out_np[i, 0])],
+                )
+                plot_count += 1
+
+    timing = {
+        "t_model_inference_avg": float((t1 - t0) / n_batches),
+        "t_postprocess": float((t3 - t2) / n),
+        "t_loss_calc": float((t5 - t4) / n),
+        "t_global": float(t_global),
+    }
+    return EvalResult(
+        per_sample=per_sample,
         rooms=rooms,
         timing=timing,
         n_samples=n,
