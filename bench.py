@@ -23,6 +23,7 @@ host-bound eval loop rir_generation.py:160-308).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import json
 import os
@@ -86,16 +87,16 @@ def bench_tpu(batch: int = BATCH) -> float:
     return batch / per_iter
 
 
-def bench_train(budget_s: float = 300.0) -> dict:
-    """Secondary: train-step throughput + MFU (VERDICT r1 item 5), using
-    tools/measure_train_mfu.py's chained-step method. Never fatal, and
-    bounded by a SIGALRM deadline so a degraded tunnel cannot stall the
-    whole bench (exceptions are caught below, but hangs would not be)."""
-    import signal
-    import sys
+class _Deadline(Exception):
+    pass
 
-    class _Deadline(Exception):
-        pass
+
+@contextlib.contextmanager
+def _deadline(budget_s: float):
+    """SIGALRM-based hard deadline: a degraded/hung tunnel blocks inside
+    device calls where ordinary exception handling never runs, so only a
+    signal can get control back to print the bench's JSON line."""
+    import signal
 
     def _raise(signum, frame):
         raise _Deadline(f"exceeded {budget_s:.0f}s budget")
@@ -103,21 +104,31 @@ def bench_train(budget_s: float = 300.0) -> dict:
     old = signal.signal(signal.SIGALRM, _raise)
     signal.alarm(int(budget_s))
     try:
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
-        from measure_train_mfu import measure
-
-        r = measure(batch_size=64, bf16=True, filters=32,
-                    peak_tflops=197e12)
-        out = {"train_samples_per_sec": r["train_samples_per_sec"]}
-        if "mfu_pct" in r:
-            out["train_mfu_pct"] = r["mfu_pct"]
-        return out
-    except (Exception, _Deadline) as e:
-        print(f"# train bench skipped: {e!r}", flush=True)
-        return {}
+        yield
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
+
+
+def bench_train(budget_s: float = 300.0) -> dict:
+    """Secondary: train-step throughput + MFU (VERDICT r1 item 5), using
+    tools/measure_train_mfu.py's chained-step method. Never fatal."""
+    try:
+        with _deadline(budget_s):
+            import sys
+
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+            from measure_train_mfu import measure
+
+            r = measure(batch_size=64, bf16=True, filters=32,
+                        peak_tflops=197e12)
+            out = {"train_samples_per_sec": r["train_samples_per_sec"]}
+            if "mfu_pct" in r:
+                out["train_mfu_pct"] = r["mfu_pct"]
+            return out
+    except (Exception, _Deadline) as e:
+        print(f"# train bench skipped: {e!r}", flush=True)
+        return {}
 
 
 def main() -> None:
@@ -126,12 +137,13 @@ def main() -> None:
     value = None
     batch = BATCH
     t_bench0 = time.perf_counter()
-    for attempt_batch in (BATCH, 64, 32):
+    for attempt_batch, budget_s in ((BATCH, 420), (64, 300), (32, 240)):
         try:
-            value = bench_tpu(attempt_batch)
+            with _deadline(budget_s):
+                value = bench_tpu(attempt_batch)
             batch = attempt_batch
             break
-        except Exception as e:  # compile failure / tunnel error
+        except (Exception, _Deadline) as e:  # compile/tunnel error or hang
             print(f"# bench attempt at batch {attempt_batch} failed: {e!r}",
                   flush=True)
     if value is None:

@@ -273,3 +273,71 @@ def test_remat_matches_plain(rng):
     l2, p2 = run(True)
     np.testing.assert_allclose(l1, l2, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5, atol=1e-7)
+
+
+class TestPreemption:
+    """SIGTERM/SIGINT -> off-cadence checkpoint + clean stop + resume."""
+
+    def _fit(self, tmp_path, stop_after_epoch=None, n_epochs=6, sig=None):
+        import os as _os
+        import signal as _signal
+
+        from unet_rir_tpu import models
+        from unet_rir_tpu.data.corpus import Corpus
+        from unet_rir_tpu.data.pipeline import DataGenerator
+        from unet_rir_tpu.train.trainer import Trainer, TrainerConfig
+
+        corpus = Corpus.synthetic(n_per_room=6, max_order=2)
+        train_gen = DataGenerator(corpus, batch_size=4, partition="train")
+        model = models.UNet(number_filters_0=2)
+        cfg = TrainerConfig(n_epochs=n_epochs, learning_rate=1e-3,
+                            lr_decay_start=None,
+                            checkpoint_dir=str(tmp_path / "ckpt"),
+                            checkpoint_every=100)  # off-cadence: no periodic saves
+        trainer = Trainer(model, train.LossConfig(), cfg)
+        state = trainer.init_state(train.init_model(model, train_gen[0]))
+
+        epochs_seen = []
+
+        def log_fn(msg):
+            if msg.startswith("Epoch "):
+                epochs_seen.append(msg)
+                if stop_after_epoch is not None and len(epochs_seen) == stop_after_epoch:
+                    if sig is not None:
+                        _os.kill(_os.getpid(), sig)  # handled, not fatal
+                    else:
+                        trainer.request_stop()
+
+        trainer.fit(state, train_gen, log_fn=log_fn)
+        return trainer, epochs_seen
+
+    def test_request_stop_checkpoints_and_stops(self, tmp_path):
+        from unet_rir_tpu.train.checkpoint import CheckpointManager
+
+        trainer, seen = self._fit(tmp_path, stop_after_epoch=2)
+        assert len(seen) == 2  # stopped after epoch 2 of 6
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        assert mgr.latest_step() == 1  # 0-indexed epoch 2, despite every=100
+        mgr.close()
+
+    def test_sigterm_triggers_stop(self, tmp_path):
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            import pytest
+            pytest.skip("signal delivery requires the main thread")
+        trainer, seen = self._fit(tmp_path, stop_after_epoch=1,
+                                  sig=signal.SIGTERM)
+        assert len(seen) == 1
+        # previous handler restored after fit
+        assert signal.getsignal(signal.SIGTERM) in (
+            signal.SIG_DFL, signal.default_int_handler) or callable(
+            signal.getsignal(signal.SIGTERM))
+
+    def test_resume_after_preempt(self, tmp_path):
+        trainer, seen = self._fit(tmp_path, stop_after_epoch=2)
+        # A fresh fit restores epoch 1 and continues from epoch 2.
+        trainer2, seen2 = self._fit(tmp_path, stop_after_epoch=None,
+                                    n_epochs=4)
+        assert len(seen2) == 2  # epochs 3 and 4 only

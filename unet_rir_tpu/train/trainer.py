@@ -47,6 +47,7 @@ class TrainerConfig:
     log_every: int = 0  # steps; 0 = epoch-level only
     fused_epochs: bool = True  # lax.scan the whole epoch on device when possible
     remat: bool = False  # rematerialize forward in backward (bigger batches)
+    preempt_save: bool = True  # SIGTERM/SIGINT -> checkpoint + clean stop
     seed: int = 0
 
 
@@ -63,9 +64,16 @@ class Trainer:
                                             remat=cfg.remat)
         self.eval_epoch = make_eval_epoch(model, loss_cfg)
         self.history = History()
+        self._stop_requested = False
 
     def init_state(self, variables: dict) -> TrainState:
         return TrainState.create(variables, self.optimizer)
+
+    def request_stop(self) -> None:
+        """Ask the running fit() to checkpoint and stop after the current
+        epoch. Called by the SIGTERM/SIGINT handler on preemption (TPU slot
+        reclaims send SIGTERM with a grace window); safe from any thread."""
+        self._stop_requested = True
 
     def fit(
         self,
@@ -102,6 +110,28 @@ class Trainer:
 
             best = BestCheckpoint(_save_best, cfg.best_min_delta)
         rng = jax.random.key(cfg.seed)
+
+        # Preemption handling: TPU reclaims deliver SIGTERM with a grace
+        # window; checkpoint-then-stop at the next epoch boundary instead of
+        # dying mid-run (extends the reference's every-2-epochs resilience,
+        # main_training.py:363-364, to unplanned termination). Handlers can
+        # only be installed from the main thread; elsewhere (e.g. a test
+        # runner thread) request_stop() remains callable directly.
+        self._stop_requested = False
+        prev_handlers = {}
+        if cfg.preempt_save:
+            import signal
+
+            def _on_signal(signum, frame):
+                log_fn(f"Signal {signum}: will checkpoint and stop after "
+                       f"this epoch")
+                self.request_stop()
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    prev_handlers[sig] = signal.signal(sig, _on_signal)
+                except ValueError:  # not the main thread
+                    break
 
         # Fused path: whole epoch as one on-device lax.scan (one dispatch),
         # available when the generator exposes its gather indices and the
@@ -211,7 +241,18 @@ class Trainer:
             if early is not None and va and early.update(va.get("loss", np.inf)):
                 log_fn(f"Early stopping at epoch {epoch + 1}")
                 break
+            if self._stop_requested:
+                if manager is not None and manager.latest_step() != epoch:
+                    manager.save(epoch, state)  # off-cadence preemption save
+                log_fn(f"Stop requested; checkpointed epoch {epoch + 1} and "
+                       f"stopping (resume restores it)")
+                break
 
+        if prev_handlers:
+            import signal
+
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
         if manager is not None:
             manager.close()
         return state, self.history
