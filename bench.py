@@ -120,7 +120,9 @@ def bench_train(budget_s: float = 300.0) -> dict:
             sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
             from measure_train_mfu import measure
 
-            r = measure(batch_size=64, bf16=True, filters=32,
+            # batch 256 = measured v5e MFU sweet spot (64: 21%, 128: 38%,
+            # 256: 48%, 512: 42% — RESULTS.md).
+            r = measure(batch_size=256, bf16=True, filters=32,
                         peak_tflops=197e12)
             out = {"train_samples_per_sec": r["train_samples_per_sec"]}
             if "mfu_pct" in r:
