@@ -105,13 +105,17 @@ class RIRSynthesizer:
         if pad:
             spec_in = np.concatenate([spec_in, np.repeat(spec_in[-1:], pad, 0)])
             emb = np.concatenate([emb, np.repeat(emb[-1:], pad, 0)])
-        specs, wavs = [], []
+        # Pipelined dispatch: submit every chunk before reading any back —
+        # JAX's async dispatch keeps the device computing chunk i+1 while
+        # the host converts chunk i, so device compute and host readback
+        # overlap instead of serializing.
+        pending = []
         for i in range(0, spec_in.shape[0], b):
-            s, w = self._generate(
+            pending.append(self._generate(
                 self.variables, jnp.asarray(spec_in[i : i + b]), jnp.asarray(emb[i : i + b])
-            )
-            specs.append(np.asarray(s))
-            wavs.append(np.asarray(w))
+            ))
+        specs = [np.asarray(s) for s, _ in pending]
+        wavs = [np.asarray(w) for _, w in pending]
         return np.concatenate(specs)[:n], np.concatenate(wavs)[:n]
 
     def synthesize_positions(
