@@ -158,3 +158,17 @@ class TestMeasuredLayoutDressRehearsal:
         assert os.path.exists(os.path.join(out, "unet_infer_time.csv"))
         wavs = os.listdir(os.path.join(out, "rir"))
         assert len(wavs) >= 2 and all(w.endswith(".wav") for w in wavs)
+
+
+def test_train_profile_dir_writes_trace(tmp_path):
+    """--profile-dir traces one warm-up epoch to a TensorBoard profile dir."""
+    prof = tmp_path / "prof"
+    rc = train_cli.main([
+        "--name", "unet", "--synthetic", "8", "--epochs", "1",
+        "--batch-size", "4", "--filters", "2", "--lr", "1e-3",
+        "--results-dir", str(tmp_path / "res"), "--mesh-data", "1",
+        "--profile-dir", str(prof),
+    ])
+    assert rc == 0
+    files = [f for _, _, fs in os.walk(str(prof)) for f in fs]
+    assert any(f.endswith(".xplane.pb") for f in files), files

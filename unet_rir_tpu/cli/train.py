@@ -102,6 +102,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize forward in backward (larger batches)")
     p.add_argument("--early-stop", type=int, default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler XLA trace of one extra warm-up "
+                        "epoch here before training starts (open with "
+                        "TensorBoard's profile plugin)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -168,6 +172,18 @@ def main(argv=None) -> int:
     state = trainer.init_state(variables)
     if use_mesh:
         state = parallel.replicate_state(state, mesh)
+
+    if args.profile_dir:
+        # Trace one real epoch (post-compile warm-up included in the trace
+        # is fine — TensorBoard separates compile from device ops), then
+        # run the remaining epochs untraced.
+        from unet_rir_tpu.utils.profiling import trace
+
+        first = TrainerConfig(**{**vars(cfg), "n_epochs": 1,
+                                 "checkpoint_dir": None, "best_export_dir": None})
+        with trace(args.profile_dir):
+            state, _ = Trainer(model, loss_cfg, first).fit(state, train_gen, val_gen)
+        print(f"XLA trace written to {args.profile_dir}")
 
     state, history = trainer.fit(state, train_gen, val_gen)
     history.to_csv(os.path.join(results_dir, f"{args.name}.log"))
