@@ -183,3 +183,41 @@ def test_from_directory_debugging_flag(tmp_path, rng):
     assert {s.array for s in quick.samples} == {"Circular"}
     full = Corpus.from_directory(str(tmp_path / "ds"))
     assert len(full) == 9
+
+
+def test_from_directory_cache_roundtrip(tmp_path, rng):
+    """cache_dir: second load comes from the .npz with identical arrays;
+    touching a wav invalidates the key."""
+    import os
+    import time
+
+    import scipy.io.wavfile
+
+    base = tmp_path / "ds" / "room_impulse"
+    d = base / "ShoeBoxRoom" / "ZoneA" / "PlanarMicrophoneArray"
+    os.makedirs(d)
+    for m in range(1, 5):
+        wav = (rng.standard_normal(9600) * 0.1).astype(np.float32)
+        scipy.io.wavfile.write(
+            str(d / f"ShoeBoxRoom_ZoneA_PlanarMicrophoneArray_L1_M{m}.wav"),
+            48000, wav)
+    cache = str(tmp_path / "cache")
+
+    c1 = Corpus.from_directory(str(tmp_path / "ds"), cache_dir=cache)
+    files = os.listdir(cache)
+    assert len(files) == 1 and files[0].endswith(".npz")
+
+    c2 = Corpus.from_directory(str(tmp_path / "ds"), cache_dir=cache)
+    np.testing.assert_array_equal(np.asarray(c1.features), np.asarray(c2.features))
+    np.testing.assert_array_equal(np.asarray(c1.wavs), np.asarray(c2.wavs))
+    np.testing.assert_array_equal(np.asarray(c1.embeddings), np.asarray(c2.embeddings))
+    assert [s.characteristics for s in c1.samples] == \
+        [s.characteristics for s in c2.samples]
+    assert c1.index_in == c2.index_in and c1.index_out == c2.index_out
+
+    # mtime change -> new key -> rebuild (old entry remains)
+    p = d / "ShoeBoxRoom_ZoneA_PlanarMicrophoneArray_L1_M1.wav"
+    future = time.time() + 10
+    os.utime(str(p), (future, future))
+    Corpus.from_directory(str(tmp_path / "ds"), cache_dir=cache)
+    assert len(os.listdir(cache)) == 2

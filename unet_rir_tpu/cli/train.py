@@ -89,6 +89,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--debugging", action="store_true",
                    help="quick-load: stop after the first array folder "
                         "(reference Dataset(debugging=True))")
+    p.add_argument("--cache-dir", default=None,
+                   help="persist the featurized corpus here; later runs "
+                        "load it instead of re-decoding every wav")
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N RIRs per room with the on-device simulator")
     p.add_argument("--duration", type=float, default=0.2,
@@ -127,7 +130,8 @@ def main(argv=None) -> int:
         corpus = Corpus.from_directory(args.data_dir, args.dataset_name,
                                        room=args.rooms, array=args.arrays,
                                        extract=args.extract,
-                                       debugging=args.debugging)
+                                       debugging=args.debugging,
+                                       cache_dir=args.cache_dir)
     else:
         raise SystemExit("Provide --data-dir or --synthetic N")
     print(f"Corpus: {len(corpus)} RIRs, {len(corpus.index_in)} pairs")

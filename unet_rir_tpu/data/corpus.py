@@ -124,6 +124,7 @@ class Corpus:
         feature_chunk: int = 256,
         extract: bool = False,
         debugging: bool = False,
+        cache_dir: str | None = None,
     ) -> "Corpus":
         """Walk the measured-dataset layout and featurize on device.
 
@@ -131,6 +132,11 @@ class Corpus:
         (reference Dataset.extract_files, dataset.py:93-115).
         debugging=True stops after the first array folder that yields
         samples — the reference's quick-load flag (dataset.py:24,127-170).
+        cache_dir: persist the decoded+featurized corpus as one .npz keyed
+        by the matched file list (path/mtime/size); later runs load the
+        arrays straight to device instead of re-decoding every wav (the
+        reference re-featurizes the whole corpus on every start,
+        dataset.py:123-182 — a multi-minute host cost at full scale).
         """
         if extract:
             extract_zips(os.path.join(dir_dataset, dataset_name))
@@ -174,9 +180,21 @@ class Corpus:
                     if debugging and len(paths) > n_before:
                         done = True
 
+        cache_path = None
+        if cache_dir:
+            cache_path = _cache_path(cache_dir, paths)
+            cached = _load_cache(cache_path)
+            if cached is not None:
+                features, wavs_a, embeddings, cached_samples = cached
+                return cls(jnp.asarray(features), jnp.asarray(embeddings),
+                           cached_samples, seed, wavs=jnp.asarray(wavs_a))
+
         wavs = _decode_paths(paths)
         features = _featurize_chunked(wavs, feature_chunk)
         embeddings = _embed_samples(samples)
+        if cache_path:
+            _save_cache(cache_path, np.asarray(features), wavs,
+                        np.asarray(embeddings), samples)
         return cls(features, embeddings, samples, seed, wavs=jnp.asarray(wavs))
 
     @classmethod
@@ -279,6 +297,53 @@ def extract_zips(dataset_path: str) -> int:
             os.remove(full)
             n += 1
     return n
+
+
+_CACHE_VERSION = 1  # bump when the featurization pipeline changes
+
+
+def _cache_path(cache_dir: str, paths: list[str]) -> str:
+    """Deterministic cache key over the matched file list: path + mtime +
+    size, so edits/additions/removals invalidate automatically."""
+    import hashlib
+
+    h = hashlib.sha1(f"v{_CACHE_VERSION}".encode())
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_mtime_ns}|{st.st_size}\n".encode())
+    return os.path.join(cache_dir, f"corpus-{h.hexdigest()[:16]}.npz")
+
+
+def _load_cache(path: str):
+    if not os.path.exists(path):
+        return None
+    try:
+        z = np.load(path, allow_pickle=False)
+        samples = [
+            Sample(str(r), str(zn), str(a), int(l), int(m))
+            for r, zn, a, l, m in zip(z["rooms"], z["zones"], z["arrays"],
+                                      z["ls"], z["ms"])
+        ]
+        return z["features"], z["wavs"], z["embeddings"], samples
+    except Exception:
+        return None  # corrupt/partial cache: fall through to a fresh build
+
+
+def _save_cache(path: str, features, wavs, embeddings, samples: list["Sample"]):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp.npz"  # savez appends .npz only when missing
+    np.savez(
+        tmp,
+        features=features,
+        wavs=wavs,
+        embeddings=embeddings,
+        rooms=np.array([s.room for s in samples]),
+        zones=np.array([s.zone for s in samples]),
+        arrays=np.array([s.array for s in samples]),
+        ls=np.array([s.l for s in samples], np.int32),
+        ms=np.array([s.m for s in samples], np.int32),
+    )
+    os.replace(tmp, path)  # atomic publish: readers never see partial files
 
 
 def _decode_paths(paths: list[str]) -> np.ndarray:
