@@ -17,7 +17,13 @@
 // C ABI (see data/native_loader.py for the ctypes binding):
 //   rir_read_wav(path, out, n_samples, target_rate)          -> 0 | -errno
 //   rir_read_wav_batch(paths, n, out, n_samples, rate, thr)  -> #failures
+//   rir_write_wav(path, data, n_samples, rate)               -> 0 | -errno
+//   rir_write_wav_batch(paths, n, data, n_samples, rate, thr)-> #failures
 //   rir_version()                                            -> int
+//
+// Writes emit mono IEEE-float32 WAVs byte-identical to
+// scipy.io.wavfile.write with a float32 array (the reference's writer,
+// postprocess.py:149): RIFF/WAVE, 16-byte fmt chunk (format 3), data.
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libririo.so ririo.cc -lpthread
 
@@ -196,6 +202,59 @@ int rir_read_wav_batch(const char** paths, int n, float* out, int n_samples,
       float* row = out + size_t(i) * n_samples;
       if (rir_read_wav(paths[i], row, n_samples, target_rate) != 0) {
         memset(row, 0, size_t(n_samples) * sizeof(float));
+        failures.fetch_add(1);
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  const int k = n < n_threads ? (n > 0 ? n : 1) : n_threads;
+  pool.reserve(k);
+  for (int t = 0; t < k; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
+// Write one mono float32 wav; returns 0 on success.
+int rir_write_wav(const char* path, const float* data, int n_samples,
+                  int rate) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  // IEEE-float layout exactly as scipy.io.wavfile.write emits it: 18-byte
+  // fmt chunk (cbSize=0) + "fact" chunk (frame count) + data chunk.
+  const uint32_t dsize = uint32_t(n_samples) * 4u;
+  const uint32_t riff_size = 4u + (8u + 18u) + (8u + 4u) + (8u + dsize);
+  const uint16_t fmt3 = 3, mono = 1, block = 4, bits = 32, cb = 0;
+  const uint32_t byte_rate = uint32_t(rate) * 4u;
+  const uint32_t fmt_size = 18, fact_size = 4;
+  const uint32_t n_frames = uint32_t(n_samples);
+  bool ok = fwrite("RIFF", 1, 4, f) == 4 && fwrite(&riff_size, 4, 1, f) == 1 &&
+            fwrite("WAVE", 1, 4, f) == 4 && fwrite("fmt ", 1, 4, f) == 4 &&
+            fwrite(&fmt_size, 4, 1, f) == 1 && fwrite(&fmt3, 2, 1, f) == 1 &&
+            fwrite(&mono, 2, 1, f) == 1 && fwrite(&rate, 4, 1, f) == 1 &&
+            fwrite(&byte_rate, 4, 1, f) == 1 && fwrite(&block, 2, 1, f) == 1 &&
+            fwrite(&bits, 2, 1, f) == 1 && fwrite(&cb, 2, 1, f) == 1 &&
+            fwrite("fact", 1, 4, f) == 4 && fwrite(&fact_size, 4, 1, f) == 1 &&
+            fwrite(&n_frames, 4, 1, f) == 1 && fwrite("data", 1, 4, f) == 4 &&
+            fwrite(&dsize, 4, 1, f) == 1 &&
+            fwrite(data, 4, size_t(n_samples), f) == size_t(n_samples);
+  return fclose(f) == 0 && ok ? 0 : -2;
+}
+
+// Write n wavs in parallel from data (n, n_samples); returns failure count.
+int rir_write_wav_batch(const char** paths, int n, const float* data,
+                        int n_samples, int rate, int n_threads) {
+  if (n_threads <= 0) {
+    n_threads = int(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 4;
+  }
+  std::atomic<int> next{0};
+  std::atomic<int> failures{0};
+  auto worker = [&]() {
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      const float* row = data + size_t(i) * n_samples;
+      if (rir_write_wav(paths[i], row, n_samples, rate) != 0) {
         failures.fetch_add(1);
       }
     }

@@ -129,3 +129,40 @@ def test_extract_zips(tmp_path, rng):
     assert n == 1
     assert not zpath.exists()
     assert (room / "PlanarMicrophoneArray" / "ShoeBoxRoom_ZoneA_PlanarMicrophoneArray_L1_M1.wav").exists()
+
+
+class TestNativeWriter:
+    def test_write_wav_batch_byte_identical_to_scipy(self, tmp_path, rng):
+        import scipy.io.wavfile
+
+        from unet_rir_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("native library unavailable")
+        wavs = rng.standard_normal((3, 9600)).astype(np.float32)
+        native_paths = [str(tmp_path / f"n{i}.wav") for i in range(3)]
+        assert native_loader.write_wav_batch(native_paths, wavs)
+        for i, p in enumerate(native_paths):
+            sp = str(tmp_path / f"s{i}.wav")
+            scipy.io.wavfile.write(sp, 48000, wavs[i])
+            with open(p, "rb") as f1, open(sp, "rb") as f2:
+                assert f1.read() == f2.read(), p
+
+    def test_native_written_roundtrips_through_readers(self, tmp_path, rng):
+        import scipy.io.wavfile
+
+        from unet_rir_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("native library unavailable")
+        wavs = rng.standard_normal((2, 9600)).astype(np.float32)
+        wavs -= wavs.mean(axis=-1, keepdims=True)
+        paths = [str(tmp_path / f"r{i}.wav") for i in range(2)]
+        assert native_loader.write_wav_batch(paths, wavs)
+        # native batch reader (DC-removed by contract)
+        back = native_loader.read_wav_batch(paths)
+        np.testing.assert_allclose(back, wavs, atol=1e-6)
+        # scipy reader
+        rate, data = scipy.io.wavfile.read(paths[0])
+        assert rate == 48000
+        np.testing.assert_allclose(data, wavs[0], atol=0)

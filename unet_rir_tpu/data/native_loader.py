@@ -43,7 +43,10 @@ def load_library() -> ctypes.CDLL | None:
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH) and not _build():
+        # Always run make: it is an mtime no-op when libririo.so is current
+        # and rebuilds it when ririo.cc changed (a stale .so would silently
+        # miss newer symbols like rir_write_wav_batch).
+        if not _build() and not os.path.exists(_LIB_PATH):
             _load_failed = True
             return None
         try:
@@ -60,6 +63,18 @@ def load_library() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int,
                 ctypes.c_int, ctypes.c_int,
             ]
+            if hasattr(lib, "rir_write_wav_batch"):
+                lib.rir_write_wav.restype = ctypes.c_int
+                lib.rir_write_wav.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int, ctypes.c_int,
+                ]
+                lib.rir_write_wav_batch.restype = ctypes.c_int
+                lib.rir_write_wav_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int,
+                ]
             assert lib.rir_version() >= 1
             _lib = lib
         except Exception:
@@ -106,4 +121,32 @@ def read_wav_batch(
     return out
 
 
-__all__ = ["available", "load_library", "read_wav_batch"]
+def write_wav_batch(
+    paths: list[str],
+    wavs: np.ndarray,
+    sample_rate: int = SAMPLE_RATE,
+    n_threads: int = 0,
+) -> bool:
+    """Parallel-write (N, n_samples) float32 rows as mono IEEE-float WAVs
+    (byte-identical to scipy.io.wavfile.write with float32 input, the
+    reference's writer — postprocess.py:149).
+
+    Returns False when the native library is unavailable or lacks the
+    writer (caller falls back to the scipy loop); raises on write errors.
+    """
+    lib = load_library()
+    if lib is None or not hasattr(lib, "rir_write_wav_batch") or not paths:
+        return False
+    wavs = np.ascontiguousarray(wavs, dtype=np.float32)
+    assert wavs.shape[0] == len(paths)
+    arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    failures = lib.rir_write_wav_batch(
+        arr, len(paths), wavs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        wavs.shape[1], sample_rate, n_threads,
+    )
+    if failures:
+        raise IOError(f"native writer: {failures}/{len(paths)} wavs failed")
+    return True
+
+
+__all__ = ["available", "load_library", "read_wav_batch", "write_wav_batch"]

@@ -424,7 +424,12 @@ def _save_diagnostic_plots(cfg: EvalConfig, plot_count: int, assembled,
 def _write_outputs(cfg: EvalConfig, gen: DataGenerator, corpus: Corpus,
                    wavs: np.ndarray, specs: np.ndarray):
     """Host-side export named by conditioning vector: per-sample wav
-    (postprocess.py:135-149) and generated-STFT .npy (postprocess.py:151-159)."""
+    (postprocess.py:135-149) and generated-STFT .npy (postprocess.py:151-159).
+
+    Wavs go through the native parallel writer (native/ririo.cc
+    rir_write_wav_batch — byte-identical IEEE-float WAVs) when available;
+    the scipy loop is the fallback."""
+    from unet_rir_tpu.data import native_loader
     from unet_rir_tpu.data.wav_io import write_wav
 
     base = os.path.join(cfg.out_dir, f"{cfg.name}_{cfg.algorithm}")
@@ -433,15 +438,19 @@ def _write_outputs(cfg: EvalConfig, gen: DataGenerator, corpus: Corpus,
     os.makedirs(wav_folder, exist_ok=True)
     os.makedirs(stft_folder, exist_ok=True)
     embeddings = np.asarray(corpus.embeddings)
-    k = 0
+    names, k = [], 0
     for i in range(len(gen)):
         _, idx_out = gen.batch_indices(i)
         for j in idx_out:
             vec = embeddings[j]
             name = "RIR" + "".join(f"-{int(v)}" for v in vec)
-            write_wav(os.path.join(wav_folder, name + ".wav"), wavs[k])
+            names.append(name)
             np.save(os.path.join(stft_folder, name + ".npy"), specs[k])
             k += 1
+    wav_paths = [os.path.join(wav_folder, n + ".wav") for n in names]
+    if not native_loader.write_wav_batch(wav_paths, wavs[: len(names)]):
+        for p, w in zip(wav_paths, wavs):
+            write_wav(p, w)
 
 
 __all__ = [
