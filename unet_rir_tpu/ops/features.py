@@ -11,12 +11,15 @@ Composes the L1 ops into the two hot pipelines:
   unpad -> denormalize -> A*exp(j*phi) -> iSTFT (or Griffin-Lim) -> wav,
   all on device; only the final host write leaves HBM.
 
-On TPU, any hop-aligned duration dispatches to the fused Pallas kernels
-(ops.pallas.stft_pallas — measured 3.7x / 1.3x over the XLA-FFT path at
-the default 0.2 s grid; the kernels are duration-parametric, so long-RIR
-grids keep the fast path). Everything else (CPU, hop-unaligned lengths,
-Griffin-Lim) uses the pure jnp path. Both paths are shape-static and
-numerically equivalent to ~1e-6.
+Dispatch (measured on v5e, B=256 — RESULTS.md "Kernel-level wins"): the
+default path is the pure-jnp pipeline whose DFTs are MXU matmuls
+(ops.stft method='matmul' on TPU) — XLA fuses the window/normalize/pad
+elementwise chain into the matmuls and it beats both the XLA-FFT path
+(~2x) and the hand-written Pallas kernels (~1.1-2.5x) at every measured
+grid. The fused Pallas kernels (ops.pallas.stft_pallas) remain available
+via use_pallas=True — duration-parametric, interpret-tested, numerically
+equivalent to ~1e-6 — but they are opt-in, not the default: their
+per-sample grid blocks pipeline worse than XLA's batched einsum tiling.
 """
 
 from __future__ import annotations
@@ -49,7 +52,7 @@ def featurize(wav: jnp.ndarray, use_pallas: bool | None = None) -> jnp.ndarray:
     H, W = model_shape_for the duration's STFT grid ((144, 160) at 0.2 s).
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = False  # XLA matmul-DFT measures faster (module docstring)
     n = wav.shape[-1]
     if use_pallas and n % HOP_LENGTH == 0 and wav.ndim >= 2:
         from unet_rir_tpu.ops.pallas.stft_pallas import featurize_pallas
@@ -93,7 +96,7 @@ def defeaturize(
     if length is None:
         length = HOP_LENGTH * (stft_shape[1] - 1)
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = False  # XLA matmul-DFT measures faster (module docstring)
     n_native = HOP_LENGTH * (stft_shape[1] - 1)
     grid = feature.shape[-3:-1]
     if (

@@ -20,6 +20,15 @@ baked per shape, e.g. 0.2 s -> F=151, grid (144,160); 0.4 s -> F=301,
 grid (144,304). VMEM footprint grows ~F*256*4 B per block (301 frames
 = 308 KiB), far under the ~16 MiB budget for any practical RIR tail.
 
+STATUS — opt-in, not the default path. A like-for-like three-way bench
+(RESULTS.md "Kernel-level wins": XLA-FFT vs XLA matmul-DFT vs these
+kernels, B=256, both grids) measured the pure-jnp pipeline with
+method='matmul' DFTs FASTER than these kernels (e.g. featurize 0.2 s:
+0.39 ms vs 1.06 ms): XLA fuses the same elementwise chain into batched
+einsum tiles and pipelines them across the batch, while pallas_call's
+one-sample-per-grid-step blocking serializes. ops.features dispatches to
+jnp by default; pass use_pallas=True to use these.
+
 Layout notes (why framing/OLA stay in XLA): the hop (64) is half the TPU
 lane width, so frame gathers and overlap-add scatters sit at 64-sample
 offsets that Mosaic cannot vector-load/store; XLA already emits optimal
