@@ -110,7 +110,7 @@ def _deadline(budget_s: float):
         signal.signal(signal.SIGALRM, old)
 
 
-def bench_train(budget_s: float = 300.0) -> dict:
+def bench_train(budget_s: float = 420.0) -> dict:
     """Secondary: train-step throughput + MFU (VERDICT r1 item 5), using
     tools/measure_train_mfu.py's chained-step method. Never fatal."""
     try:
@@ -138,7 +138,6 @@ def main() -> None:
     # sizes before giving up so a transient stall doesn't zero the round.
     value = None
     batch = BATCH
-    t_bench0 = time.perf_counter()
     for attempt_batch, budget_s in ((BATCH, 420), (64, 300), (32, 240)):
         try:
             with _deadline(budget_s):
@@ -168,15 +167,28 @@ def main() -> None:
         "unit": "rirs/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
     }
-    # Only attempt the secondary train bench when the tunnel looks healthy:
-    # a slow synthesis bench means degraded transport, and the train bench
-    # would burn the round's remaining time for nothing.
-    if time.perf_counter() - t_bench0 < 240.0:
+    # Only attempt the secondary train bench when the tunnel is healthy
+    # right now (a trivial-op readback in seconds, not minutes): a degraded
+    # transport would burn the remaining time for nothing.
+    if _tunnel_healthy():
         record.update(bench_train())
     else:
-        print("# train bench skipped: synthesis bench was slow (degraded tunnel)",
+        print("# train bench skipped: tunnel degraded (trivial-op probe slow)",
               flush=True)
     print(json.dumps(record))
+
+
+def _tunnel_healthy(threshold_s: float = 20.0) -> bool:
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        with _deadline(threshold_s + 10):
+            t0 = time.perf_counter()
+            assert float((jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0, 0]) == 8.0
+            return time.perf_counter() - t0 < threshold_s
+    except (Exception, _Deadline):
+        return False
 
 
 if __name__ == "__main__":
