@@ -93,9 +93,12 @@ class _Deadline(Exception):
 
 @contextlib.contextmanager
 def _deadline(budget_s: float):
-    """SIGALRM-based hard deadline: a degraded/hung tunnel blocks inside
-    device calls where ordinary exception handling never runs, so only a
-    signal can get control back to print the bench's JSON line."""
+    """SIGALRM-based deadline for slow-but-returning device calls (the
+    observed tunnel failure mode: minutes-long readbacks that do return).
+    Caveat: a call truly hung inside native code never re-enters the
+    interpreter, so the handler cannot fire until it returns — a hard
+    guarantee needs an external watchdog (the driver's own process timeout
+    serves that role)."""
     import signal
 
     def _raise(signum, frame):

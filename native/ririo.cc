@@ -14,16 +14,19 @@
 //   * trimmed / zero-padded to exactly n_samples
 //   * DC (mean) removed
 //
-// C ABI (see data/native_loader.py for the ctypes binding):
-//   rir_read_wav(path, out, n_samples, target_rate)          -> 0 | -errno
+// C ABI (see data/native_loader.py for the ctypes binding). Errors are
+// fixed negative codes (-1 open/-2 header/parse or short write,
+// -3 decode), NOT errno values:
+//   rir_read_wav(path, out, n_samples, target_rate)          -> 0 | -k
 //   rir_read_wav_batch(paths, n, out, n_samples, rate, thr)  -> #failures
-//   rir_write_wav(path, data, n_samples, rate)               -> 0 | -errno
+//   rir_write_wav(path, data, n_samples, rate)               -> 0 | -k
 //   rir_write_wav_batch(paths, n, data, n_samples, rate, thr)-> #failures
 //   rir_version()                                            -> int
 //
 // Writes emit mono IEEE-float32 WAVs byte-identical to
 // scipy.io.wavfile.write with a float32 array (the reference's writer,
-// postprocess.py:149): RIFF/WAVE, 16-byte fmt chunk (format 3), data.
+// postprocess.py:149): RIFF/WAVE, 18-byte fmt chunk (format 3, cbSize=0),
+// "fact" chunk (frame count), then data — pinned by a byte-identity test.
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libririo.so ririo.cc -lpthread
 

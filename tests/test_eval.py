@@ -227,3 +227,18 @@ class TestFusedEvaluate:
         wavs = os.listdir(os.path.join(str(tmp_path), "fused_ph", "rir"))
         npys = os.listdir(os.path.join(str(tmp_path), "fused_ph", "stft"))
         assert len(wavs) == len(npys) == result.n_samples
+
+    def test_fused_windowed_matches_loop(self, corpus):
+        """fused_window smaller than the split -> several windows, same
+        metrics (the HBM-bounding path)."""
+        model, variables = self._setup(corpus)
+        r_loop = eval_mod.evaluate(model, variables, corpus,
+                                   eval_mod.EvalConfig(batch_size=2))
+        r_win = eval_mod.evaluate(
+            model, variables, corpus,
+            eval_mod.EvalConfig(batch_size=2, fused=True, fused_window=2))
+        assert r_win.n_samples == r_loop.n_samples
+        for k in r_loop.per_sample:
+            np.testing.assert_allclose(r_win.per_sample[k],
+                                       r_loop.per_sample[k],
+                                       rtol=1e-4, atol=1e-6, err_msg=k)

@@ -65,7 +65,8 @@ class EvalConfig:
     plot_every: int = 0  # save 4 diagnostic PNGs every N samples (ref: 640)
     mesh: Any = None  # parallel.make_mesh() for multi-chip DP evaluation
     spatial: bool = False  # additionally shard the spectrogram width axis
-    fused: bool = False  # whole-split lax.scan phases (3 dispatches total)
+    fused: bool = False  # whole-split lax.scan phases (3 dispatches/window)
+    fused_window: int = 2048  # max samples materialized on device at once
 
 
 def assemble_prediction(spec_in, spec_pred, diff_gen: bool):
@@ -124,6 +125,10 @@ class EvalResult:
     timing: dict[str, float]
     n_samples: int
     batch_size: int
+    timing_method: str = (
+        "per-batch wall-clock spans closed by scalar-readback sync, "
+        "warm-up batch excluded"
+    )
 
     def room_means(self) -> dict[str, dict[str, float]]:
         """{report row -> {metric -> mean}} including the 'Global' row."""
@@ -322,57 +327,96 @@ def _evaluate_fused(model, variables, corpus, cfg: EvalConfig,
         return m  # dict of (n_batches, B)
 
     idx_in_np, idx_out_np = gen.epoch_indices()  # shuffle=False: stable order
-    idx_in = jnp.asarray(idx_in_np)
-    idx_out = jnp.asarray(idx_out_np)
     feats, embs, corpus_wavs = corpus.features, corpus.embeddings, corpus.wavs
-
-    start = time.time()
-    # AOT-compile each phase so timing excludes compilation entirely.
-    c_fwd = fwd_all.lower(variables, feats, embs, idx_in, idx_out).compile()
-
-    t0 = time.time()
-    preds = c_fwd(variables, feats, embs, idx_in, idx_out)
-    sync(preds)
-    t1 = time.time()
-    c_post = post_all.lower(preds, feats, idx_in).compile()
-    t2 = time.time()
-    assembled, wav_pred = c_post(preds, feats, idx_in)
-    sync(wav_pred)
-    t3 = time.time()
-    c_score = score_all.lower(assembled, feats, corpus_wavs, wav_pred, idx_out).compile()
-    t4 = time.time()
-    batch_metrics = c_score(assembled, feats, corpus_wavs, wav_pred, idx_out)
-    sync(batch_metrics)
-    t5 = time.time()
-    t_global = time.time() - start
 
     n_batches = len(gen)
     n = n_batches * cfg.batch_size
-    per_sample = {k: np.asarray(v).reshape(n) for k, v in batch_metrics.items()}
+    # Bound HBM: the scans materialize preds + assembled + wavs for every
+    # batch they cover (~410 KB/sample at the 0.2 s grid), so a huge split
+    # is processed in windows of <= fused_window samples — still only
+    # 3 dispatches per window instead of 3 per batch. The last (smaller)
+    # window compiles its own shapes; at most two shape variants exist.
+    win_b = max(1, cfg.fused_window // cfg.batch_size)
+    compiled: dict = {}
+
+    start = time.time()
+    t_fwd = t_post = t_score = 0.0
+    metrics_parts: list[dict] = []
+    wav_parts: list[np.ndarray] = []
+    spec_parts: list[np.ndarray] = []
+    plot_countdown, plot_count = 0, 0
+
+    for g0 in range(0, n_batches, win_b):
+        g1 = min(g0 + win_b, n_batches)
+        ii = jnp.asarray(idx_in_np[g0:g1])
+        io = jnp.asarray(idx_out_np[g0:g1])
+        nb = g1 - g0
+        # Phase programs are AOT-compiled (lower/compile) from the previous
+        # phase's CONCRETE outputs so input shardings are preserved; the
+        # compiles sit outside the timed spans, so compilation is excluded
+        # from every phase (the fused replacement for warm-up dropping).
+        if nb not in compiled:
+            compiled[nb] = {}
+        comp = compiled[nb]
+        if "fwd" not in comp:
+            comp["fwd"] = fwd_all.lower(variables, feats, embs, ii, io).compile()
+
+        t0 = time.time()
+        preds = comp["fwd"](variables, feats, embs, ii, io)
+        sync(preds)
+        t1 = time.time()
+        if "post" not in comp:
+            comp["post"] = post_all.lower(preds, feats, ii).compile()
+            t1 = time.time()
+        assembled, wav_pred = comp["post"](preds, feats, ii)
+        sync(wav_pred)
+        t2 = time.time()
+        if "score" not in comp:
+            comp["score"] = score_all.lower(assembled, feats, corpus_wavs,
+                                            wav_pred, io).compile()
+            t2 = time.time()
+        batch_metrics = comp["score"](assembled, feats, corpus_wavs, wav_pred, io)
+        sync(batch_metrics)
+        t3 = time.time()
+        t_fwd += t1 - t0
+        t_post += t2 - t1
+        t_score += t3 - t2
+        metrics_parts.append({k: np.asarray(v) for k, v in batch_metrics.items()})
+
+        if cfg.save_wavs:
+            wav_parts.append(np.asarray(wav_pred).reshape(
+                (nb * cfg.batch_size,) + wav_pred.shape[2:]))
+            spec_parts.append(np.asarray(assembled).reshape(
+                (nb * cfg.batch_size,) + assembled.shape[2:]))
+        if cfg.plot_every:
+            for i in range(nb):
+                plot_countdown += cfg.batch_size
+                if plot_countdown >= cfg.plot_every:
+                    plot_countdown = 0
+                    spec_out_b = jnp.take(feats, io[i], axis=0)
+                    wav_true_b = jnp.take(corpus_wavs, io[i], axis=0)
+                    _save_diagnostic_plots(
+                        cfg, plot_count, assembled[i], spec_out_b, wav_pred[i],
+                        wav_true_b, corpus.samples[int(idx_out_np[g0 + i, 0])],
+                    )
+                    plot_count += 1
+        del preds, assembled, wav_pred  # free the window before the next one
+    t_global = time.time() - start
+
+    per_sample = {
+        k: np.concatenate([p[k].reshape(-1) for p in metrics_parts])
+        for k in metrics_parts[0]
+    }
     rooms = [corpus.samples[j].room for j in idx_out_np.reshape(-1)]
 
-    if cfg.save_wavs:
-        _write_outputs(cfg, gen, corpus,
-                       np.asarray(wav_pred).reshape((n,) + wav_pred.shape[2:]),
-                       np.asarray(assembled).reshape((n,) + assembled.shape[2:]))
-    if cfg.plot_every:
-        countdown, plot_count = 0, 0
-        for i in range(n_batches):
-            countdown += cfg.batch_size
-            if countdown >= cfg.plot_every:
-                countdown = 0
-                spec_out_b = jnp.take(feats, idx_out[i], axis=0)
-                wav_true_b = jnp.take(corpus_wavs, idx_out[i], axis=0)
-                _save_diagnostic_plots(
-                    cfg, plot_count, assembled[i], spec_out_b, wav_pred[i],
-                    wav_true_b, corpus.samples[int(idx_out_np[i, 0])],
-                )
-                plot_count += 1
+    if cfg.save_wavs and wav_parts:
+        _write_outputs(cfg, gen, corpus, np.concatenate(wav_parts),
+                       np.concatenate(spec_parts))
 
     timing = {
-        "t_model_inference_avg": float((t1 - t0) / n_batches),
-        "t_postprocess": float((t3 - t2) / n),
-        "t_loss_calc": float((t5 - t4) / n),
+        "t_model_inference_avg": float(t_fwd / n_batches),
+        "t_postprocess": float(t_post / n),
+        "t_loss_calc": float(t_score / n),
         "t_global": float(t_global),
     }
     return EvalResult(
@@ -381,6 +425,10 @@ def _evaluate_fused(model, variables, corpus, cfg: EvalConfig,
         timing=timing,
         n_samples=n,
         batch_size=cfg.batch_size,
+        timing_method=(
+            "fused whole-split lax.scan phases; wall-clock spans closed by "
+            "scalar-readback sync; compilation excluded via AOT lower/compile"
+        ),
     )
 
 
@@ -438,15 +486,23 @@ def _write_outputs(cfg: EvalConfig, gen: DataGenerator, corpus: Corpus,
     os.makedirs(wav_folder, exist_ok=True)
     os.makedirs(stft_folder, exist_ok=True)
     embeddings = np.asarray(corpus.embeddings)
-    names, k = [], 0
+    names = []
     for i in range(len(gen)):
         _, idx_out = gen.batch_indices(i)
         for j in idx_out:
             vec = embeddings[j]
-            name = "RIR" + "".join(f"-{int(v)}" for v in vec)
-            names.append(name)
-            np.save(os.path.join(stft_folder, name + ".npy"), specs[k])
-            k += 1
+            names.append("RIR" + "".join(f"-{int(v)}" for v in vec))
+    # .npy exports (~5x the bytes of the wavs) go through a thread pool —
+    # np.save releases the GIL during the file write, so a serial loop here
+    # would dominate the export and negate the parallel wav writer below.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor() as pool:
+        list(pool.map(
+            lambda kn: np.save(os.path.join(stft_folder, kn[1] + ".npy"),
+                               specs[kn[0]]),
+            enumerate(names),
+        ))
     wav_paths = [os.path.join(wav_folder, n + ".wav") for n in names]
     if not native_loader.write_wav_batch(wav_paths, wavs[: len(names)]):
         for p, w in zip(wav_paths, wavs):

@@ -97,11 +97,7 @@ def _write_txt(result: EvalResult, rooms: dict, folder: str, name: str) -> None:
         f"Took {_fmt(t['t_global'], 'positional', 5)} s to generate, postprocess "
         f"and obtain loss for {result.n_samples} samples"
     )
-    lines.append(
-        "Timing method: wall-clock spans closed by scalar-readback device "
-        "synchronization per phase (tunnel-safe; see bench.py), warm-up "
-        "batch excluded."
-    )
+    lines.append(f"Timing method: {result.timing_method}.")
     lines.append("")
     for row in REPORT_ROOMS:
         r = rooms[row]

@@ -105,17 +105,30 @@ class RIRSynthesizer:
         if pad:
             spec_in = np.concatenate([spec_in, np.repeat(spec_in[-1:], pad, 0)])
             emb = np.concatenate([emb, np.repeat(emb[-1:], pad, 0)])
-        # Pipelined dispatch: submit every chunk before reading any back —
-        # JAX's async dispatch keeps the device computing chunk i+1 while
-        # the host converts chunk i, so device compute and host readback
-        # overlap instead of serializing.
-        pending = []
+        # Pipelined dispatch with a bounded window: keep at most two chunks
+        # in flight (JAX async dispatch lets the device compute chunk i+1
+        # while the host converts chunk i) WITHOUT letting peak HBM grow
+        # with the request size — an unbounded submit-all would hold every
+        # chunk's outputs (~220 KB/sample) on the chip until the first
+        # readback, OOMing large requests that the serial loop handled.
+        from collections import deque
+
+        specs, wavs = [], []
+        pending: deque = deque()
+
+        def _drain_one():
+            s, w = pending.popleft()
+            specs.append(np.asarray(s))
+            wavs.append(np.asarray(w))
+
         for i in range(0, spec_in.shape[0], b):
             pending.append(self._generate(
                 self.variables, jnp.asarray(spec_in[i : i + b]), jnp.asarray(emb[i : i + b])
             ))
-        specs = [np.asarray(s) for s, _ in pending]
-        wavs = [np.asarray(w) for _, w in pending]
+            if len(pending) > 2:
+                _drain_one()
+        while pending:
+            _drain_one()
         return np.concatenate(specs)[:n], np.concatenate(wavs)[:n]
 
     def synthesize_positions(

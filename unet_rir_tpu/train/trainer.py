@@ -123,8 +123,16 @@ class Trainer:
             import signal
 
             def _on_signal(signum, frame):
+                if self._stop_requested:
+                    # Second signal: the user really wants out NOW (e.g. the
+                    # epoch is hung on a degraded transport and the boundary
+                    # never comes). Restore the previous handlers and raise
+                    # so the process stays interruptible.
+                    for s_, h_ in prev_handlers.items():
+                        signal.signal(s_, h_)
+                    raise KeyboardInterrupt(f"second signal {signum}")
                 log_fn(f"Signal {signum}: will checkpoint and stop after "
-                       f"this epoch")
+                       f"this epoch (send again to abort immediately)")
                 self.request_stop()
 
             for sig in (signal.SIGTERM, signal.SIGINT):
@@ -153,108 +161,113 @@ class Trainer:
                 )
             return corpus_on_mesh[tag]
 
-        for epoch in range(start_epoch, cfg.n_epochs):
-            t0 = time.time()
-            lr = opt_mod.epoch_lr(
-                cfg.learning_rate, epoch, cfg.lr_decay_start, cfg.lr_decay_style
-            )
-
-            if fused:
-                ds = train_gen.dataset
-                idx_in, idx_out = train_gen.epoch_indices()
-                feats, embs = ds.features, ds.embeddings
-                idx_in = jax.numpy.asarray(idx_in)
-                idx_out = jax.numpy.asarray(idx_out)
-                if mesh is not None:
-                    from unet_rir_tpu.parallel import NamedSharding, P
-
-                    feats, embs = _place_corpus("train", ds)
-                    idx_sharding = NamedSharding(mesh, P(None, "data"))
-                    idx_in = jax.device_put(idx_in, idx_sharding)
-                    idx_out = jax.device_put(idx_out, idx_sharding)
-                rng, epoch_rng = jax.random.split(rng)
-                state, tr_dev = self.train_epoch(
-                    state, feats, embs, idx_in, idx_out, epoch_rng, lr
+        try:
+            for epoch in range(start_epoch, cfg.n_epochs):
+                t0 = time.time()
+                lr = opt_mod.epoch_lr(
+                    cfg.learning_rate, epoch, cfg.lr_decay_start, cfg.lr_decay_style
                 )
-                tr = {k: float(v) for k, v in tr_dev.items()}
-                train_gen.on_epoch_end()
-                va = {}
-                if val_gen is not None and hasattr(val_gen, "epoch_indices") and len(val_gen) > 0:
-                    v_in, v_out = val_gen.epoch_indices()
-                    vds = val_gen.dataset
-                    vf, ve = vds.features, vds.embeddings
-                    v_in = jax.numpy.asarray(v_in)
-                    v_out = jax.numpy.asarray(v_out)
+
+                if fused:
+                    ds = train_gen.dataset
+                    idx_in, idx_out = train_gen.epoch_indices()
+                    feats, embs = ds.features, ds.embeddings
+                    idx_in = jax.numpy.asarray(idx_in)
+                    idx_out = jax.numpy.asarray(idx_out)
                     if mesh is not None:
-                        vf, ve = _place_corpus("val", vds)
-                        v_in = jax.device_put(v_in, idx_sharding)
-                        v_out = jax.device_put(v_out, idx_sharding)
-                    va_dev = self.eval_epoch(state, vf, ve, v_in, v_out)
-                    va = {k: float(v) for k, v in va_dev.items()}
-                    val_gen.on_epoch_end()
-            else:
-                train_metrics = _MeanAccumulator()
-                for step_idx in range(len(train_gen)):
-                    batch = train_gen[step_idx]
-                    rng, step_rng = jax.random.split(rng)
-                    state, metrics = self.train_step(state, batch[:3], step_rng, lr)
-                    train_metrics.update(metrics)
-                    if cfg.log_every and step_idx % cfg.log_every == 0:
-                        log_fn(f"  step {step_idx}/{len(train_gen)}")
-                train_gen.on_epoch_end()
+                        from unet_rir_tpu.parallel import NamedSharding, P
 
-                val_metrics = _MeanAccumulator()
-                if val_gen is not None:
-                    for step_idx in range(len(val_gen)):
-                        val_metrics.update(self.eval_step(state, val_gen[step_idx][:3]))
-                    val_gen.on_epoch_end()
+                        feats, embs = _place_corpus("train", ds)
+                        idx_sharding = NamedSharding(mesh, P(None, "data"))
+                        idx_in = jax.device_put(idx_in, idx_sharding)
+                        idx_out = jax.device_put(idx_out, idx_sharding)
+                    rng, epoch_rng = jax.random.split(rng)
+                    state, tr_dev = self.train_epoch(
+                        state, feats, embs, idx_in, idx_out, epoch_rng, lr
+                    )
+                    tr = {k: float(v) for k, v in tr_dev.items()}
+                    train_gen.on_epoch_end()
+                    va = {}
+                    if val_gen is not None and hasattr(val_gen, "epoch_indices") and len(val_gen) > 0:
+                        v_in, v_out = val_gen.epoch_indices()
+                        vds = val_gen.dataset
+                        vf, ve = vds.features, vds.embeddings
+                        v_in = jax.numpy.asarray(v_in)
+                        v_out = jax.numpy.asarray(v_out)
+                        if mesh is not None:
+                            vf, ve = _place_corpus("val", vds)
+                            v_in = jax.device_put(v_in, idx_sharding)
+                            v_out = jax.device_put(v_out, idx_sharding)
+                        va_dev = self.eval_epoch(state, vf, ve, v_in, v_out)
+                        va = {k: float(v) for k, v in va_dev.items()}
+                        val_gen.on_epoch_end()
+                else:
+                    train_metrics = _MeanAccumulator()
+                    for step_idx in range(len(train_gen)):
+                        batch = train_gen[step_idx]
+                        rng, step_rng = jax.random.split(rng)
+                        state, metrics = self.train_step(state, batch[:3], step_rng, lr)
+                        train_metrics.update(metrics)
+                        if cfg.log_every and step_idx % cfg.log_every == 0:
+                            log_fn(f"  step {step_idx}/{len(train_gen)}")
+                    train_gen.on_epoch_end()
 
-                tr = train_metrics.result()
-                va = val_metrics.result()
-            epoch_time = time.time() - t0
-            self.history.append(
-                loss=tr.get("loss", np.nan),
-                loss_amplitude=tr.get("loss_amplitude", np.nan),
-                loss_phase=tr.get("loss_phase", np.nan),
-                val_loss=va.get("loss", np.nan),
-                val_loss_amplitude=va.get("loss_amplitude", np.nan),
-                val_loss_phase=va.get("loss_phase", np.nan),
-                lr=lr,
-                epoch_time=epoch_time,
-            )
-            # Epoch print template (main_training.py:378-385).
-            log_fn(
-                f"Epoch {epoch + 1}, Loss: {tr.get('loss', np.nan):.6g}, "
-                f"Epoch time: {epoch_time:.2f}\n"
-                f"Train | MSE Loss: {tr.get('loss_amplitude', np.nan):.6g}, "
-                f"Phase Loss: {tr.get('loss_phase', np.nan):.6g}\n"
-                f"Val   | MSE Loss: {va.get('loss_amplitude', np.nan):.6g}, "
-                f"Phase Loss: {va.get('loss_phase', np.nan):.6g}\n"
-                f"lr    | {lr:.3g}"
-            )
+                    val_metrics = _MeanAccumulator()
+                    if val_gen is not None:
+                        for step_idx in range(len(val_gen)):
+                            val_metrics.update(self.eval_step(state, val_gen[step_idx][:3]))
+                        val_gen.on_epoch_end()
 
+                    tr = train_metrics.result()
+                    va = val_metrics.result()
+                epoch_time = time.time() - t0
+                self.history.append(
+                    loss=tr.get("loss", np.nan),
+                    loss_amplitude=tr.get("loss_amplitude", np.nan),
+                    loss_phase=tr.get("loss_phase", np.nan),
+                    val_loss=va.get("loss", np.nan),
+                    val_loss_amplitude=va.get("loss_amplitude", np.nan),
+                    val_loss_phase=va.get("loss_phase", np.nan),
+                    lr=lr,
+                    epoch_time=epoch_time,
+                )
+                # Epoch print template (main_training.py:378-385).
+                log_fn(
+                    f"Epoch {epoch + 1}, Loss: {tr.get('loss', np.nan):.6g}, "
+                    f"Epoch time: {epoch_time:.2f}\n"
+                    f"Train | MSE Loss: {tr.get('loss_amplitude', np.nan):.6g}, "
+                    f"Phase Loss: {tr.get('loss_phase', np.nan):.6g}\n"
+                    f"Val   | MSE Loss: {va.get('loss_amplitude', np.nan):.6g}, "
+                    f"Phase Loss: {va.get('loss_phase', np.nan):.6g}\n"
+                    f"lr    | {lr:.3g}"
+                )
+
+                if manager is not None:
+                    manager.maybe_save(epoch, state)
+                if best is not None and va:
+                    state_box["state"] = state
+                    best.update(va.get("loss", np.inf))
+                if early is not None and va and early.update(va.get("loss", np.inf)):
+                    log_fn(f"Early stopping at epoch {epoch + 1}")
+                    break
+                if self._stop_requested:
+                    if manager is not None and manager.latest_step() != epoch:
+                        manager.save(epoch, state)  # off-cadence preemption save
+                    log_fn(f"Stop requested; checkpointed epoch {epoch + 1} and "
+                           f"stopping (resume restores it)")
+                    break
+
+        finally:
+            # Always restore signal handlers and close the checkpoint
+            # manager, even when an epoch raises — a leaked _on_signal
+            # would make the whole process uninterruptible afterwards.
+            if prev_handlers:
+                import signal
+
+                for sig, h in prev_handlers.items():
+                    signal.signal(sig, h)
             if manager is not None:
-                manager.maybe_save(epoch, state)
-            if best is not None and va:
-                state_box["state"] = state
-                best.update(va.get("loss", np.inf))
-            if early is not None and va and early.update(va.get("loss", np.inf)):
-                log_fn(f"Early stopping at epoch {epoch + 1}")
-                break
-            if self._stop_requested:
-                if manager is not None and manager.latest_step() != epoch:
-                    manager.save(epoch, state)  # off-cadence preemption save
-                log_fn(f"Stop requested; checkpointed epoch {epoch + 1} and "
-                       f"stopping (resume restores it)")
-                break
-
-        if prev_handlers:
-            import signal
-
-            for sig, h in prev_handlers.items():
-                signal.signal(sig, h)
-        if manager is not None:
-            manager.close()
+                manager.close()
         return state, self.history
 
 
