@@ -50,7 +50,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--save-wavs", action="store_true")
     p.add_argument("--fused", action="store_true",
                    help="whole-split lax.scan evaluation (3 device dispatches "
-                        "total) — the fast path for remote/tunneled hosts")
+                        "per window) — the fast path for remote/tunneled hosts")
+    p.add_argument("--fused-window", type=int, default=2048,
+                   help="max samples materialized on device at once in "
+                        "--fused mode (bounds HBM for huge splits)")
     p.add_argument("--plot-every", type=int, default=0,
                    help="save 4 diagnostic PNGs every N samples (reference: 640)")
     p.add_argument("--bf16", action="store_true")
@@ -121,6 +124,7 @@ def main(argv=None) -> int:
             name=name,
             plot_every=args.plot_every,
             fused=args.fused,
+            fused_window=args.fused_window,
         )
         result = evaluate(model, variables, corpus, cfg)
         folder = write_reports(result, args.saving_path, name, args.algorithm)
