@@ -136,3 +136,22 @@ def test_mesh_batch_divisibility_enforced():
     mesh = parallel.make_mesh(n_data=8, n_spatial=1)
     with pytest.raises(ValueError, match="divide"):
         RIRSynthesizer(model, variables, batch_size=6, mesh=mesh)
+
+
+def test_many_chunks_bounded_pipeline(rng):
+    """A request spanning many compiled batches drains through the bounded
+    in-flight window with per-sample outputs identical to a single chunk."""
+    from unet_rir_tpu import train
+
+    model = models.UNet(number_filters_0=2)
+    spec0 = jnp.zeros((2, 144, 160, 2), jnp.float32)
+    emb0 = jnp.zeros((2, 2, 16), jnp.int32)
+    variables = train.init_model(model, (spec0, emb0))
+    small = RIRSynthesizer(model, variables, batch_size=4)
+    big = RIRSynthesizer(model, variables, batch_size=32)
+
+    spec, emb = _request(rng, 20)  # 5 chunks of 4
+    s_multi, w_multi = small.synthesize(spec, emb)
+    s_one, w_one = big.synthesize(spec, emb)
+    np.testing.assert_allclose(s_multi, s_one, atol=1e-5)
+    np.testing.assert_allclose(w_multi, w_one, atol=1e-5)
