@@ -58,10 +58,12 @@ def _build(batch: int):
         def body(carry, _):
             pred = model.apply(variables, carry, emb, training=False)
             wav = defeaturize(pred, algorithm="ph")
-            # Tiny non-zero feedback keeps iterations serially dependent
-            # without measurable extra cost (prevents XLA from collapsing
-            # the loop).
-            carry = carry + wav[:, :1, None, None] * jnp.float32(1e-30)
+            # Full-reduction feedback: the carry depends on EVERY output
+            # sample, so XLA cannot dead-code-eliminate any part of the
+            # forward or the iSTFT. (A first-sample-only feedback — used
+            # before round 2 — lets the compiler slice away most of the
+            # overlap-add, overstating throughput.)
+            carry = carry + wav.sum() * jnp.float32(1e-30)
             return carry, wav[:, 0]
 
         carry, outs = jax.lax.scan(body, spec, None, length=k)

@@ -31,8 +31,13 @@ def _measure(fn, x, reps: int = 4) -> float:
     def run_k(x, k):
         def body(c, _):
             o = fn(c)
-            lead = o.ravel()[0].real.astype(c.dtype)
-            return c + lead * jnp.asarray(1e-30, c.dtype), lead
+            # Full-reduction feedback: the carry depends on EVERY output
+            # element, so XLA cannot dead-code-eliminate any part of the
+            # op under test (a first-element-only feedback lets the
+            # compiler slice away most of the computation).
+            full = o.real.sum().astype(c.dtype) if jnp.iscomplexobj(o) \
+                else o.sum().astype(c.dtype)
+            return c + full * jnp.asarray(1e-30, c.dtype), full
 
         _, outs = jax.lax.scan(body, x, None, length=k)
         return outs.sum()
@@ -80,10 +85,19 @@ def main() -> None:
         feat = F.featurize(wav, use_pallas=False)
 
         def mk_feat(method):
+            # Mirrors ops.features._featurize_jnp exactly (DC removal,
+            # per-channel pad to the duration's model grid) with the DFT
+            # method injected, so all three arms compute the same function.
+            from unet_rir_tpu.ops.pad import model_shape_for
+
+            grid = model_shape_for(shape)
+
             def f(w):
+                w = w - jnp.mean(w, axis=-1, keepdims=True)
                 amp, ph = S.stft_amp_phase(w, method=method)
                 a, p_ = normalize(amp, ph)
-                return pad_to(jnp.stack([a, p_], axis=-1))
+                return jnp.stack(
+                    [pad_to(a, grid), pad_to(p_, grid)], axis=-1)
             return f
 
         def mk_defeat(method):
