@@ -141,7 +141,6 @@ def test_mesh_batch_divisibility_enforced():
 def test_many_chunks_bounded_pipeline(rng):
     """A request spanning many compiled batches drains through the bounded
     in-flight window with per-sample outputs identical to a single chunk."""
-    from unet_rir_tpu import train
 
     model = models.UNet(number_filters_0=2)
     spec0 = jnp.zeros((2, 144, 160, 2), jnp.float32)

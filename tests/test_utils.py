@@ -42,10 +42,13 @@ class TestProfiling:
         t = utils.PhaseTimer()
         import time
 
-        for d in (0.05, 0.01, 0.01):
+        # Wide warm-up/steady separation so the assertion is robust to
+        # scheduler jitter on a loaded machine (a 3x-inflated 0.01 s sleep
+        # must still sit far below half the 0.5 s warm-up).
+        for d in (0.5, 0.01, 0.01):
             with t.span("x"):
                 time.sleep(d)
-        assert t.mean("x") < 0.03  # warm-up 0.05 dropped
+        assert t.mean("x") < 0.25  # warm-up 0.5 dropped
         assert "x" in t.summary()
 
     def test_sync(self):
