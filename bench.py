@@ -138,9 +138,25 @@ def bench_train(budget_s: float = 420.0) -> dict:
         return {}
 
 
+def _wait_for_healthy_tunnel(max_wait_s: float = 420.0) -> None:
+    """The tunnel degrades on a rough 30-60 min oscillation (CLAUDE.md);
+    a bench launched inside a degraded window would burn every deadline
+    and report 0.0. Spend up to max_wait_s probing for recovery first —
+    a late valid number beats a fast zero."""
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < max_wait_s:
+        if _tunnel_healthy():
+            return
+        print(f"# tunnel degraded; waiting for recovery "
+              f"({time.perf_counter() - t0:.0f}s elapsed)", flush=True)
+        time.sleep(45)
+
+
 def main() -> None:
-    # The remote-TPU tunnel occasionally degrades; retry at smaller batch
-    # sizes before giving up so a transient stall doesn't zero the round.
+    # The remote-TPU tunnel occasionally degrades; wait briefly for a
+    # healthy window, then retry at smaller batch sizes before giving up
+    # so a transient stall doesn't zero the round.
+    _wait_for_healthy_tunnel()
     value = None
     batch = BATCH
     for attempt_batch, budget_s in ((BATCH, 420), (64, 300), (32, 240)):
