@@ -94,7 +94,7 @@ class TestMeasuredLayoutDressRehearsal:
     cli.train --data-dir (with --extract) and cli.generate --data-dir,
     proving dataset.py:93-182 semantics beyond unit level."""
 
-    def _build_tree(self, root, rng):
+    def _build_tree(self, root, rng, n_samples=9600):
         import zipfile
 
         import numpy as np
@@ -108,9 +108,9 @@ class TestMeasuredLayoutDressRehearsal:
         for room, zone, arr, n in specs:
             d = base / room / zone / arr
             os.makedirs(d)
-            t = np.arange(9600) / 48000.0
+            t = np.arange(n_samples) / 48000.0
             for m in range(1, n + 1):
-                wav = (rng.standard_normal(9600) * np.exp(-t / 0.05)).astype(np.float32)
+                wav = (rng.standard_normal(n_samples) * np.exp(-t / 0.05)).astype(np.float32)
                 wav[100] = 0.9
                 scipy.io.wavfile.write(
                     str(d / f"{room}_{zone}_{arr}_L1_M{m}.wav"), 48000, wav)
@@ -158,6 +158,46 @@ class TestMeasuredLayoutDressRehearsal:
         assert os.path.exists(os.path.join(out, "unet_infer_time.csv"))
         wavs = os.listdir(os.path.join(out, "rir"))
         assert len(wavs) >= 2 and all(w.endswith(".wav") for w in wavs)
+
+    def test_train_then_generate_measured_0p4s(self, tmp_path, rng):
+        """VERDICT r2 item 2 done-criterion: the best-quality 0.4 s config
+        is reproducible on a MEASURED-layout tree end-to-end through both
+        CLIs (duration wired through from_directory; 19200-sample wavs kept
+        at full length — no silent 0.2 s crop)."""
+        import warnings
+
+        data_dir = self._build_tree(tmp_path / "data", rng, n_samples=19200)
+
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            rc = train_cli.main([
+                "--name", "unet", "--data-dir", data_dir, "--duration", "0.4",
+                "--extract", "--epochs", "1", "--batch-size", "2",
+                "--lr", "1e-4", "--filters", "2", "--mesh-data", "1",
+                "--results-dir", str(tmp_path / "res"),
+            ])
+        assert rc == 0
+        # Exact-duration load: no truncation/padding warnings fired.
+        assert not [w for w in caught
+                    if "TRUNCATED" in str(w.message)
+                    or "zero-padded" in str(w.message)], caught
+
+        rc = gen_cli.main([
+            "--models", "unet", "--models-folder", str(tmp_path / "res"),
+            "--saving-path", str(tmp_path / "gen"), "--data-dir", data_dir,
+            "--duration", "0.4", "--batch-size", "2", "--filters", "2",
+            "--save-wavs",
+        ])
+        assert rc == 0
+        out = str(tmp_path / "gen" / "unet_ph")
+        assert os.path.exists(os.path.join(out, "unet_losses.csv"))
+        wavs = os.listdir(os.path.join(out, "rir"))
+        assert len(wavs) >= 2
+        # Generated wavs carry the full 0.4 s length.
+        from unet_rir_tpu.data.wav_io import wav_frames
+
+        frames, sr = wav_frames(os.path.join(out, "rir", wavs[0]))
+        assert (frames, sr) == (19200, 48000)
 
 
 def test_train_profile_dir_writes_trace(tmp_path):

@@ -221,3 +221,94 @@ def test_from_directory_cache_roundtrip(tmp_path, rng):
     os.utime(str(p), (future, future))
     Corpus.from_directory(str(tmp_path / "ds"), cache_dir=cache)
     assert len(os.listdir(cache)) == 2
+
+
+def _write_tree(tmp_path, rng, n_samples, n_files=4, sr=48000):
+    import os
+
+    import scipy.io.wavfile
+
+    base = tmp_path / "ds" / "room_impulse"
+    d = base / "ShoeBoxRoom" / "ZoneA" / "PlanarMicrophoneArray"
+    os.makedirs(d, exist_ok=True)
+    for m in range(1, n_files + 1):
+        wav = (rng.standard_normal(n_samples) * 0.1).astype(np.float32)
+        scipy.io.wavfile.write(
+            str(d / f"ShoeBoxRoom_ZoneA_PlanarMicrophoneArray_L1_M{m}.wav"),
+            sr, wav)
+    return str(tmp_path / "ds")
+
+
+class TestMeasuredDuration:
+    """VERDICT r2 item 2: `duration` is wired through the measured-corpus
+    path, and length mismatches are LOUD — never the silent 0.2 s crop."""
+
+    def test_wav_frames_header_scan(self, tmp_path, rng):
+        import scipy.io.wavfile
+
+        from unet_rir_tpu.data.wav_io import wav_frames
+
+        p = str(tmp_path / "h.wav")
+        scipy.io.wavfile.write(p, 24000,
+                               (rng.standard_normal(4800) * 0.1).astype(np.float32))
+        assert wav_frames(p) == (4800, 24000)
+        # int16 too (different block align)
+        p2 = str(tmp_path / "h16.wav")
+        scipy.io.wavfile.write(p2, 48000,
+                               (rng.standard_normal(9600) * 3000).astype(np.int16))
+        assert wav_frames(p2) == (9600, 48000)
+
+    def test_longer_duration_widens_features(self, tmp_path, rng):
+        import warnings
+
+        root = _write_tree(tmp_path, rng, 19200)  # 0.4 s at 48 kHz
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # exact-duration load stays silent
+            c = Corpus.from_directory(root, duration=0.4)
+        assert c.wavs.shape[-1] == 19200
+        assert c.stft_shape == (129, 1 + 19200 // 64)
+        assert c.features.shape[2] >= 301  # frame axis widened past 0.2 s's 160
+        # defeaturize round-trips the full length
+        import unet_rir_tpu.ops.features as F
+
+        assert F.defeaturize(c.features[:1], stft_shape=c.stft_shape).shape[-1] == 19200
+
+    def test_truncation_is_loud(self, tmp_path, rng):
+        root = _write_tree(tmp_path, rng, 19200)
+        with pytest.warns(UserWarning, match="TRUNCATED.*--duration"):
+            c = Corpus.from_directory(root)  # default 0.2 s window
+        assert c.wavs.shape[-1] == 9600
+
+    def test_short_wavs_error_by_default(self, tmp_path, rng):
+        root = _write_tree(tmp_path, rng, 4800)  # 0.1 s
+        with pytest.raises(ValueError, match="shorter than"):
+            Corpus.from_directory(root)
+        with pytest.warns(UserWarning, match="zero-padded"):
+            c = Corpus.from_directory(root, strict_duration=False)
+        assert c.wavs.shape[-1] == 9600
+        # Padded tail is flat (zero before DC removal, a constant after it).
+        tail = np.asarray(c.wavs)[:, 4800:]
+        np.testing.assert_allclose(tail.std(axis=-1), 0.0, atol=1e-7)
+
+    def test_resampled_lengths_compared_at_pipeline_rate(self, tmp_path, rng):
+        import warnings
+
+        # 0.2 s at 24 kHz == 0.2 s at the 48 kHz pipeline rate: no warning.
+        root = _write_tree(tmp_path, rng, 4800, sr=24000)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            c = Corpus.from_directory(root)
+        assert c.wavs.shape[-1] == 9600
+
+    def test_cache_key_includes_duration(self, tmp_path, rng):
+        import os
+
+        root = _write_tree(tmp_path, rng, 19200)
+        cache = str(tmp_path / "cache")
+        with pytest.warns(UserWarning):
+            Corpus.from_directory(root, cache_dir=cache)  # 0.2 s entry
+        c4 = Corpus.from_directory(root, cache_dir=cache, duration=0.4)
+        assert len(os.listdir(cache)) == 2  # distinct keys per duration
+        # 0.4 s reload hits its own entry and keeps the full length
+        c4b = Corpus.from_directory(root, cache_dir=cache, duration=0.4)
+        np.testing.assert_array_equal(np.asarray(c4.wavs), np.asarray(c4b.wavs))

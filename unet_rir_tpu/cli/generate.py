@@ -46,7 +46,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="persist the featurized corpus here; later runs "
                         "load it instead of re-decoding every wav")
     p.add_argument("--synthetic", type=int, default=0)
-    p.add_argument("--duration", type=float, default=0.2)
+    p.add_argument("--duration", type=float, default=0.2,
+                   help="RIR window in seconds (synthetic AND measured)")
+    p.add_argument("--pad-short-wavs", action="store_true",
+                   help="zero-pad measured wavs shorter than --duration "
+                        "instead of erroring")
     p.add_argument("--save-wavs", action="store_true")
     p.add_argument("--fused", action="store_true",
                    help="whole-split lax.scan evaluation (3 device dispatches "
@@ -54,8 +58,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--fused-window", type=int, default=2048,
                    help="max samples materialized on device at once in "
                         "--fused mode (bounds HBM for huge splits)")
-    p.add_argument("--plot-every", type=int, default=0,
-                   help="save 4 diagnostic PNGs every N samples (reference: 640)")
+    p.add_argument("--plot-every", type=int, default=640,
+                   help="save 4 diagnostic PNGs every N samples (reference "
+                        "default, rir_generation.py:295-308); 0 disables")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--optimizer", default="adam",
                    help="optimizer the checkpoint was trained with (restore template)")
@@ -75,7 +80,9 @@ def main(argv=None) -> int:
                                        room=args.rooms, array=args.arrays,
                                        extract=args.extract,
                                        debugging=args.debugging,
-                                       cache_dir=args.cache_dir)
+                                       cache_dir=args.cache_dir,
+                                       duration=args.duration,
+                                       strict_duration=not args.pad_short_wavs)
     else:
         raise SystemExit("Provide --data-dir or --synthetic N")
 

@@ -46,6 +46,33 @@ def read_wav(
     return data.astype(np.float32)
 
 
+def wav_frames(path: str) -> tuple[int, int]:
+    """(n_frames, sample_rate) from the RIFF header alone — no sample data
+    is read, so scanning a whole corpus for duration mismatches is cheap
+    (used by Corpus.from_directory's loud-truncation contract)."""
+    with open(path, "rb") as f:
+        riff = f.read(12)
+        if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+            raise ValueError(f"not a RIFF/WAVE file: {path}")
+        sr = block_align = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid, size = hdr[:4], int.from_bytes(hdr[4:8], "little")
+            if cid == b"fmt ":
+                fmt = f.read(size + (size & 1))
+                sr = int.from_bytes(fmt[4:8], "little")
+                block_align = int.from_bytes(fmt[12:14], "little")
+            elif cid == b"data":
+                if not sr or not block_align:
+                    raise ValueError(f"data chunk before fmt in {path}")
+                return size // block_align, sr
+            else:
+                f.seek(size + (size & 1), 1)
+    raise ValueError(f"no data chunk in {path}")
+
+
 def write_wav(path: str, wav: np.ndarray, sample_rate: int = SAMPLE_RATE) -> None:
     """Write float32 wav (scipy, as the reference does in postprocess.py:149)."""
     scipy.io.wavfile.write(path, sample_rate, np.asarray(wav, dtype=np.float32))
@@ -64,4 +91,5 @@ class Loader:
         return signal - signal.mean()
 
 
-__all__ = ["read_wav", "write_wav", "Loader", "N_SAMPLES", "SAMPLE_RATE"]
+__all__ = ["read_wav", "wav_frames", "write_wav", "Loader", "N_SAMPLES",
+           "SAMPLE_RATE"]

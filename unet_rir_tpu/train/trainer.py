@@ -102,6 +102,10 @@ class Trainer:
             state_box = {}
 
             def _save_best():
+                if jax.process_index() != 0:
+                    # Host-side npz write: primary-only under multi-host
+                    # (state is replicated; duplicate writers would race).
+                    return
                 s = state_box["state"]
                 variables = {"params": s.params}
                 if s.batch_stats:
@@ -146,18 +150,31 @@ class Trainer:
         # corpus is device-resident (plain DataGenerator; sharded wrappers
         # fall back to the per-step path).
         fused = cfg.fused_epochs and hasattr(train_gen, "epoch_indices")
-        mesh = getattr(train_gen, "mesh", None) if fused else None
+        gen_mesh = getattr(train_gen, "mesh", None)
+        mesh = gen_mesh if fused else None
+        multiproc = jax.process_count() > 1
         corpus_on_mesh: dict = {}
+
+        def _global_key(key):
+            """Make a PRNG key a global (replicated) array for multi-process
+            jit. Raw uint32 key data keeps put_global dtype-simple; the step
+            factories accept legacy raw keys."""
+            if not multiproc or gen_mesh is None:
+                return key
+            from unet_rir_tpu.parallel import put_global, replicated
+
+            return put_global(np.asarray(jax.random.key_data(key)),
+                              replicated(gen_mesh))
 
         def _place_corpus(tag, ds):
             """Replicate the (static) corpus onto the mesh once, not per epoch."""
             if tag not in corpus_on_mesh:
-                from unet_rir_tpu.parallel import replicated
+                from unet_rir_tpu.parallel import put_global, replicated
 
                 rep = replicated(mesh)
                 corpus_on_mesh[tag] = (
-                    jax.device_put(ds.features, rep),
-                    jax.device_put(ds.embeddings, rep),
+                    put_global(ds.features, rep),
+                    put_global(ds.embeddings, rep),
                 )
             return corpus_on_mesh[tag]
 
@@ -175,15 +192,17 @@ class Trainer:
                     idx_in = jax.numpy.asarray(idx_in)
                     idx_out = jax.numpy.asarray(idx_out)
                     if mesh is not None:
-                        from unet_rir_tpu.parallel import NamedSharding, P
+                        from unet_rir_tpu.parallel import (
+                            NamedSharding, P, put_global)
 
                         feats, embs = _place_corpus("train", ds)
                         idx_sharding = NamedSharding(mesh, P(None, "data"))
-                        idx_in = jax.device_put(idx_in, idx_sharding)
-                        idx_out = jax.device_put(idx_out, idx_sharding)
+                        idx_in = put_global(idx_in, idx_sharding)
+                        idx_out = put_global(idx_out, idx_sharding)
                     rng, epoch_rng = jax.random.split(rng)
                     state, tr_dev = self.train_epoch(
-                        state, feats, embs, idx_in, idx_out, epoch_rng, lr
+                        state, feats, embs, idx_in, idx_out,
+                        _global_key(epoch_rng), lr
                     )
                     tr = {k: float(v) for k, v in tr_dev.items()}
                     train_gen.on_epoch_end()
@@ -196,8 +215,8 @@ class Trainer:
                         v_out = jax.numpy.asarray(v_out)
                         if mesh is not None:
                             vf, ve = _place_corpus("val", vds)
-                            v_in = jax.device_put(v_in, idx_sharding)
-                            v_out = jax.device_put(v_out, idx_sharding)
+                            v_in = put_global(v_in, idx_sharding)
+                            v_out = put_global(v_out, idx_sharding)
                         va_dev = self.eval_epoch(state, vf, ve, v_in, v_out)
                         va = {k: float(v) for k, v in va_dev.items()}
                         val_gen.on_epoch_end()
@@ -206,7 +225,8 @@ class Trainer:
                     for step_idx in range(len(train_gen)):
                         batch = train_gen[step_idx]
                         rng, step_rng = jax.random.split(rng)
-                        state, metrics = self.train_step(state, batch[:3], step_rng, lr)
+                        state, metrics = self.train_step(
+                            state, batch[:3], _global_key(step_rng), lr)
                         train_metrics.update(metrics)
                         if cfg.log_every and step_idx % cfg.log_every == 0:
                             log_fn(f"  step {step_idx}/{len(train_gen)}")
