@@ -129,9 +129,11 @@ def bench_train(budget_s: float = 420.0) -> dict:
             # 256: 48%, 512: 42% — RESULTS.md).
             r = measure(batch_size=256, bf16=True, filters=32,
                         peak_tflops=197e12)
-            out = {"train_samples_per_sec": r["train_samples_per_sec"]}
+            out = {"train_samples_per_sec": r["train_samples_per_sec"],
+                   "train_spread_pct": r.get("train_spread_pct")}
             if "mfu_pct" in r:
-                out["train_mfu_pct"] = r["mfu_pct"]
+                out["train_mfu_pct"] = r["mfu_pct"]  # best of 3
+                out["train_mfu_pct_worst"] = r.get("mfu_pct_worst")
             return out
     except (Exception, _Deadline) as e:
         print(f"# train bench skipped: {e!r}", flush=True)
@@ -204,7 +206,12 @@ def _tunnel_healthy(threshold_s: float = 20.0) -> bool:
     import jax.numpy as jnp
 
     try:
-        with _deadline(threshold_s + 10):
+        with _deadline(threshold_s * 2 + 40):
+            # Untimed warm-up: the FIRST trivial op on a cold process pays
+            # backend init + compile through the tunnel, which would
+            # misclassify a healthy-but-cold start as degraded (round-2
+            # advisor finding). The timed probe reuses the compiled program.
+            assert float((jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0, 0]) == 8.0
             t0 = time.perf_counter()
             assert float((jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0, 0]) == 8.0
             return time.perf_counter() - t0 < threshold_s

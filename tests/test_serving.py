@@ -154,3 +154,58 @@ def test_many_chunks_bounded_pipeline(rng):
     s_one, w_one = big.synthesize(spec, emb)
     np.testing.assert_allclose(s_multi, s_one, atol=1e-5)
     np.testing.assert_allclose(w_multi, w_one, atol=1e-5)
+
+
+class TestBucketedServing:
+    """VERDICT r2 item 5: batch buckets — small requests never execute the
+    throughput batch's program."""
+
+    @pytest.fixture(scope="class")
+    def bsynth(self):
+        model = models.UNet(number_filters_0=2)
+        spec = jnp.zeros((1, 144, 160, 2), jnp.float32)
+        emb = jnp.zeros((1, 2, 16), jnp.int32)
+        variables = train.init_model(model, (spec, emb))
+        return RIRSynthesizer(model, variables, buckets=(4, 8, 16))
+
+    def test_small_request_uses_small_bucket(self, bsynth, rng):
+        spec, emb = _request(rng, 3)
+        _, wavs = bsynth.synthesize(spec, emb)
+        assert wavs.shape == (3, 9600)
+        assert bsynth.last_dispatch_sizes == [4]  # never the 16-wide program
+        # Exactly one program shape has been compiled (the 4-bucket).
+        assert bsynth._generate._cache_size() == 1
+
+    def test_plan_greedy_plus_best_fit_tail(self, bsynth):
+        assert bsynth._plan(3) == [4]
+        assert bsynth._plan(4) == [4]
+        assert bsynth._plan(5) == [8]
+        assert bsynth._plan(16) == [16]
+        assert bsynth._plan(37) == [16, 16, 8]
+        assert bsynth._plan(33) == [16, 16, 4]
+
+    def test_bucketed_matches_fixed_batch(self, bsynth, rng):
+        spec, emb = _request(rng, 21)  # 16 + tail 8 (pad 3)
+        _, w_bucketed = bsynth.synthesize(spec, emb)
+        assert bsynth.last_dispatch_sizes == [16, 8]
+        model = bsynth.model
+        fixed = RIRSynthesizer(model, bsynth.variables, batch_size=16)
+        _, w_fixed = fixed.synthesize(spec, emb)
+        np.testing.assert_allclose(w_bucketed, w_fixed, atol=1e-5)
+
+    def test_default_is_single_bucket(self, synth):
+        assert synth.buckets == [4]
+        assert synth._plan(7) == [4, 4]
+
+    def test_mesh_buckets_divisibility(self):
+        from unet_rir_tpu import parallel
+
+        model = models.UNet(number_filters_0=2)
+        variables = train.init_model(
+            model, (jnp.zeros((1, 144, 160, 2), jnp.float32),
+                    jnp.zeros((1, 2, 16), jnp.int32)))
+        mesh = parallel.make_mesh(n_data=8, n_spatial=1)
+        with pytest.raises(ValueError, match="divide"):
+            RIRSynthesizer(model, variables, buckets=(4, 8, 16), mesh=mesh)
+        ok = RIRSynthesizer(model, variables, buckets=(8, 16), mesh=mesh)
+        assert ok.buckets == [8, 16]

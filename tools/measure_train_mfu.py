@@ -92,9 +92,18 @@ def measure(batch_size: int, bf16: bool, filters: int, peak_tflops: float,
 
     run(K_SMALL)  # compile
     run(K_LARGE)
-    t_small = min(run(K_SMALL) for _ in range(3))
-    t_large = min(run(K_LARGE) for _ in range(3))
-    per_step = (t_large - t_small) / (K_LARGE - K_SMALL)
+    # Three INDEPENDENT per-step estimates: the tunnel adds minute-scale
+    # drift between samples (RESULTS.md documents a 42.9-48.0% MFU band at
+    # batch 256), so one sample reads as a regression across rounds. Report
+    # best-of-3 plus the spread so drivers can tell variance from change
+    # (VERDICT r2 weak #5).
+    estimates = []
+    for _ in range(3):
+        t_small = min(run(K_SMALL) for _ in range(2))
+        t_large = min(run(K_LARGE) for _ in range(2))
+        estimates.append((t_large - t_small) / (K_LARGE - K_SMALL))
+    per_step = min(estimates)
+    spread_pct = round(100.0 * (max(estimates) - min(estimates)) / per_step, 1)
     samples_per_sec = batch_size / per_step
     out = {
         "batch_size": batch_size,
@@ -102,11 +111,15 @@ def measure(batch_size: int, bf16: bool, filters: int, peak_tflops: float,
         "filters": filters,
         "step_time_s": round(per_step, 6),
         "train_samples_per_sec": round(samples_per_sec, 1),
-        "method": "chained lax.scan steps, two-count difference, scalar readback",
+        "train_spread_pct": spread_pct,
+        "method": "chained lax.scan steps, two-count difference, scalar "
+                  "readback; best of 3 independent estimates",
     }
     if flops is not None:
         out["flops_per_step"] = flops
         out["mfu_pct"] = round(100.0 * flops / per_step / peak_tflops, 2)
+        out["mfu_pct_worst"] = round(
+            100.0 * flops / max(estimates) / peak_tflops, 2)
         out["peak_tflops"] = peak_tflops / 1e12
     return out
 

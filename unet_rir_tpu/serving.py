@@ -32,6 +32,13 @@ class RIRSynthesizer:
     Args:
       model, variables: a flax module + its variables, or use `from_pretrained`.
       batch_size: the compiled batch (128 is the measured v5e sweet spot).
+      buckets: optional ascending batch buckets (e.g. (8, 32, 128)). Each
+        request is served by greedy largest-bucket chunks plus ONE
+        smallest-bucket-that-fits tail chunk, so a 3-sample request runs
+        an 8-wide program (~16x less compute than padding to 128) — the
+        tail-latency answer to the reference's fixed batch-4 serving
+        (rir_generation.py:69-70) without giving up the throughput batch.
+        Defaults to (batch_size,): fixed-batch behavior.
       algorithm: 'ph' (amp+phase iSTFT) or 'gl' (Griffin-Lim).
       diff_gen: reassemble diff-phase predictions against the input phase.
       mesh: a `parallel.make_mesh()` mesh for multi-chip serving — requests
@@ -43,8 +50,13 @@ class RIRSynthesizer:
     def __init__(self, model, variables: dict, batch_size: int = 128,
                  algorithm: str = "ph", diff_gen: bool = False,
                  stft_shape: tuple[int, int] = STFT_SHAPE,
-                 mesh=None, spatial: bool = False):
+                 mesh=None, spatial: bool = False,
+                 buckets: Sequence[int] | None = None):
         self.model = model
+        self.buckets = sorted(set(buckets)) if buckets else [batch_size]
+        if any(b <= 0 for b in self.buckets):
+            raise ValueError(f"buckets must be positive: {self.buckets}")
+        batch_size = self.buckets[-1]  # the throughput (largest) program
         self.batch_size = batch_size
         self.algorithm = algorithm
         self.diff_gen = diff_gen
@@ -56,15 +68,17 @@ class RIRSynthesizer:
         self.n_samples = HOP_LENGTH * (self.stft_shape[1] - 1)
         if mesh is not None:
             n_data = mesh.shape.get("data", 1)
-            if batch_size % n_data:
+            bad = [b for b in self.buckets if b % n_data]
+            if bad:
                 raise ValueError(
-                    f"batch_size={batch_size} must divide by the mesh 'data' "
-                    f"axis ({n_data}) for even per-chip shards"
+                    f"every batch bucket must divide by the mesh 'data' "
+                    f"axis ({n_data}) for even per-chip shards; got {bad}"
                 )
             from unet_rir_tpu.parallel.mesh import replicated
 
             variables = jax.device_put(variables, replicated(mesh))
         self.variables = variables
+        self.last_dispatch_sizes: list[int] = []
         self._generate = make_generate_fn(model, algorithm=algorithm,
                                           diff_gen=diff_gen, stft_shape=self.stft_shape,
                                           mesh=mesh, spatial=spatial)
@@ -75,18 +89,33 @@ class RIRSynthesizer:
         return cls(model, variables, **kwargs)
 
     def warmup(self) -> None:
-        """Trigger compilation ahead of the first request."""
+        """Trigger compilation of every bucket's program ahead of traffic."""
         h, w = self.grid
-        spec = jnp.zeros((self.batch_size, h, w, 2), jnp.float32)
-        emb = jnp.zeros((self.batch_size, 2, 16), jnp.int32)
-        jax.block_until_ready(self._generate(self.variables, spec, emb))
+        for b in self.buckets:
+            spec = jnp.zeros((b, h, w, 2), jnp.float32)
+            emb = jnp.zeros((b, 2, 16), jnp.int32)
+            jax.block_until_ready(self._generate(self.variables, spec, emb))
+
+    def _plan(self, n: int) -> list[int]:
+        """Fixed-shape dispatch sizes for an n-sample request: greedy
+        largest-bucket chunks, then ONE smallest-bucket-that-fits tail (so
+        small requests never execute the throughput batch)."""
+        sizes = []
+        big = self.buckets[-1]
+        while n >= big:
+            sizes.append(big)
+            n -= big
+        if n:
+            sizes.append(next(b for b in self.buckets if b >= n))
+        return sizes
 
     def synthesize(self, spec_in, emb) -> tuple[np.ndarray, np.ndarray]:
         """(N,H,W,2) float + (N,2,16) int -> (spectrograms, wavs).
 
-        Any N is accepted; requests are padded up to the compiled batch and
-        processed in fixed-shape chunks. H/W must match the synthesizer's
-        grid (self.grid), i.e. the duration the model was trained on.
+        Any N is accepted; requests are processed as fixed-shape chunks
+        chosen from `self.buckets` (greedy largest + one best-fit tail,
+        padded only up to that tail bucket). H/W must match the
+        synthesizer's grid (self.grid), i.e. the model's trained duration.
         """
         spec_in = np.asarray(spec_in, np.float32)
         emb = np.asarray(emb, np.int32)
@@ -100,8 +129,9 @@ class RIRSynthesizer:
         if n == 0:
             return (np.zeros((0,) + self.grid + (2,), np.float32),
                     np.zeros((0, self.n_samples), np.float32))
-        b = self.batch_size
-        pad = (-n) % b
+        sizes = self._plan(n)
+        self.last_dispatch_sizes = sizes  # observability + latency tests
+        pad = sum(sizes) - n
         if pad:
             spec_in = np.concatenate([spec_in, np.repeat(spec_in[-1:], pad, 0)])
             emb = np.concatenate([emb, np.repeat(emb[-1:], pad, 0)])
@@ -121,11 +151,13 @@ class RIRSynthesizer:
             specs.append(np.asarray(s))
             wavs.append(np.asarray(w))
 
-        for i in range(0, spec_in.shape[0], b):
+        i = 0
+        for b in sizes:
             pending.append(self._generate(
                 self.variables, jnp.asarray(spec_in[i : i + b]), jnp.asarray(emb[i : i + b])
             ))
-            if len(pending) > 2:
+            i += b
+            if len(pending) >= 2:  # true two-in-flight bound
                 _drain_one()
         while pending:
             _drain_one()
