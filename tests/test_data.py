@@ -51,6 +51,64 @@ class TestSimulator:
         assert rirs.shape == (b, 9600)
 
 
+class TestDiffuseTail:
+    """Hybrid ISM + Sabine-decay noise tail (simulator._diffuse_tail).
+
+    The order-6 image lattice cannot cover the Large room's 1.281 s T60
+    (arrivals die at ~0.53 s; Schroeder fits read ~0.9 s). With the tail,
+    the estimated T60 must track the nominal room T60 at a 1.3 s window."""
+
+    def _large_room(self):
+        import jax
+
+        from unet_rir_tpu.data import simulator
+
+        spec = rooms.ROOMS["LargeMeetingRoom"]
+        dims, rt60 = simulator.room_to_shoebox(spec)
+        src = np.clip(np.array([1.0, 1.0, 1.2]), 0.1, dims - 0.1)
+        mic = np.clip(dims / 2, 0.1, dims - 0.1)
+        return (jnp.asarray(dims, jnp.float32), jnp.asarray(src, jnp.float32),
+                jnp.asarray(mic, jnp.float32), jnp.asarray(rt60, jnp.float32),
+                rt60, jax.random.key(7))
+
+    def test_large_room_t60_tracks_nominal_at_1p3s(self):
+        from unet_rir_tpu.data import simulator
+        from unet_rir_tpu.eval.metrics import t60_estimate
+
+        d, s, m, r, rt60, key = self._large_room()
+        pure = simulator.simulate_rir(d, s, m, r, n_samples=62400, max_order=6)
+        tail = simulator.simulate_rir(d, s, m, r, n_samples=62400, max_order=6,
+                                      diffuse_tail=True, key=key)
+        est_pure = float(t60_estimate(pure[None])[0])
+        est_tail = float(t60_estimate(tail[None])[0])
+        assert abs(est_pure - rt60) / rt60 > 0.20  # the truncation problem
+        assert abs(est_tail - rt60) / rt60 < 0.05  # the hybrid fix
+
+    def test_deterministic_and_optin(self):
+        from unet_rir_tpu.data import simulator
+
+        d, s, m, r, _, key = self._large_room()
+        a = simulator.simulate_rir(d, s, m, r, n_samples=9600, max_order=4,
+                                   diffuse_tail=True, key=key)
+        b = simulator.simulate_rir(d, s, m, r, n_samples=9600, max_order=4,
+                                   diffuse_tail=True, key=key)
+        assert jnp.array_equal(a, b)
+        # Default (no tail) is the pure ISM — earlier results reproduce.
+        plain = simulator.simulate_rir(d, s, m, r, n_samples=9600, max_order=4)
+        with_tail_off = simulator.simulate_rir_batch(
+            d[None], s[None], m[None], r[None], n_samples=9600, max_order=4)
+        np.testing.assert_array_equal(np.asarray(plain),
+                                      np.asarray(with_tail_off[0]))
+        assert not np.array_equal(np.asarray(a), np.asarray(plain))
+
+    def test_corpus_synthetic_diffuse_tail_seeded(self):
+        c1 = Corpus.synthetic(n_per_room=2, max_order=2, diffuse_tail=True)
+        c2 = Corpus.synthetic(n_per_room=2, max_order=2, diffuse_tail=True)
+        np.testing.assert_array_equal(np.asarray(c1.wavs), np.asarray(c2.wavs))
+        plain = Corpus.synthetic(n_per_room=2, max_order=2)
+        assert not np.array_equal(np.asarray(c1.wavs), np.asarray(plain.wavs))
+
+
 class TestCorpus:
     def test_synthetic_shapes(self, corpus):
         n = len(corpus)

@@ -51,6 +51,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pad-short-wavs", action="store_true",
                    help="zero-pad measured wavs shorter than --duration "
                         "instead of erroring")
+    p.add_argument("--diffuse-tail", action="store_true",
+                   help="synthetic corpus: Sabine-decay noise tail past the "
+                        "mixing time (must match the training corpus flag)")
     p.add_argument("--save-wavs", action="store_true")
     p.add_argument("--fused", action="store_true",
                    help="whole-split lax.scan evaluation (3 device dispatches "
@@ -74,7 +77,8 @@ def main(argv=None) -> int:
 
     if args.synthetic:
         corpus = Corpus.synthetic(n_per_room=args.synthetic, room=args.rooms,
-                                  duration=args.duration)
+                                  duration=args.duration,
+                                  diffuse_tail=args.diffuse_tail)
     elif args.data_dir:
         corpus = Corpus.from_directory(args.data_dir, args.dataset_name,
                                        room=args.rooms, array=args.arrays,

@@ -97,6 +97,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pad-short-wavs", action="store_true",
                    help="zero-pad measured wavs shorter than --duration "
                         "instead of erroring")
+    p.add_argument("--diffuse-tail", action="store_true",
+                   help="synthetic corpus: crossfade the image lattice into "
+                        "a Sabine-decay noise tail past the mixing time, so "
+                        "long-T60 rooms keep their real decay at wide "
+                        "--duration windows")
     # TPU-native knobs.
     p.add_argument("--mesh-data", type=int, default=None)
     p.add_argument("--mesh-spatial", type=int, default=1)
@@ -166,7 +171,8 @@ def main(argv=None) -> int:
 
     if args.synthetic:
         corpus = Corpus.synthetic(n_per_room=args.synthetic, room=args.rooms,
-                                  duration=args.duration)
+                                  duration=args.duration,
+                                  diffuse_tail=args.diffuse_tail)
     elif args.data_dir:
         corpus = Corpus.from_directory(args.data_dir, args.dataset_name,
                                        room=args.rooms, array=args.arrays,

@@ -31,6 +31,7 @@ import random
 import re
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -217,6 +218,7 @@ class Corpus:
         seed: int = SEED,
         max_order: int = 6,
         duration: float = 0.2,
+        diffuse_tail: bool = False,
     ) -> "Corpus":
         """Generate a corpus from the on-device image-source simulator.
 
@@ -224,7 +226,10 @@ class Corpus:
         embeddings are in-distribution; source/mic geometry comes from the
         room's shoebox approximation. `duration` (s) controls the RIR
         length; longer durations widen the spectrogram frame axis
-        (SURVEY.md §5.7 long-RIR scaling).
+        (SURVEY.md §5.7 long-RIR scaling). `diffuse_tail` crossfades the
+        truncated image lattice into a Sabine-decay noise tail
+        (simulator._diffuse_tail) so long-T60 rooms exhibit their real
+        decay at wide windows — required for honest T60 means at ≥1.3 s.
         """
         sel_rooms = tuple(room) if room and list(room) != ["All"] else _DEFAULT_ROOMS
         samples: list[Sample] = []
@@ -257,6 +262,9 @@ class Corpus:
             jnp.asarray(np.array(rt60_l), jnp.float32),
             n_samples=_hop_aligned_samples(duration),
             max_order=max_order,
+            diffuse_tail=diffuse_tail,
+            keys=(jax.random.split(jax.random.key(seed), len(samples))
+                  if diffuse_tail else None),
         )
         rirs = rirs - jnp.mean(rirs, axis=-1, keepdims=True)
         features = featurize(rirs)

@@ -19,6 +19,17 @@ Design (TPU-first):
 
 Geometry units: meters. UTS rooms (quadrilaterals, cm) are approximated by
 their bounding shoebox via `room_to_shoebox`.
+
+Diffuse late tail (`diffuse_tail=True`): a truncated image lattice cannot
+cover long reverberation — at max_order=6 the Large room's arrivals die at
+~0.53 s while its nominal T60 is 1.281 s, so Schroeder fits on the pure ISM
+read ~0.9 s. The standard hybrid fixes this: beyond the room's perceptual
+mixing time the field is diffuse, so the ISM is crossfaded into
+exponentially-decaying Gaussian noise whose envelope follows the Sabine
+T60 (amplitude 10^(-3 (t - t_mix)/T60)) and whose level is matched to the
+ISM's local energy density at the mixing region. Deterministic per
+(seed, sample). Opt-in: the pure-ISM corpus that earlier quality numbers
+were measured on is unchanged by default.
 """
 
 from __future__ import annotations
@@ -59,7 +70,49 @@ def _image_grid(max_order: int) -> tuple[np.ndarray, np.ndarray]:
     return lattice, parity
 
 
-@functools.partial(jax.jit, static_argnames=("n_samples", "max_order", "fs"))
+def _diffuse_tail(
+    rir: jnp.ndarray,  # (n_samples,) pure-ISM RIR
+    dims: jnp.ndarray,  # (3,) meters
+    src: jnp.ndarray,
+    mic: jnp.ndarray,
+    rt60: jnp.ndarray,  # () seconds
+    key: jnp.ndarray,
+    fs: int,
+) -> jnp.ndarray:
+    """Crossfade the ISM into an energy-matched exponential noise tail.
+
+    t_mix = direct delay + sqrt(V) ms (the perceptual mixing-time rule);
+    tail amplitude envelope 10^(-3 (t - t_mix)/T60) (60 dB energy decay per
+    T60); noise level set so the tail's mean-square continues the ISM's
+    local mean-square over the 10 ms before t_mix. A 20 ms smoothstep
+    crossfade replaces the (truncation-distorted) ISM past t_mix.
+    """
+    n_samples = rir.shape[0]
+    t = jnp.arange(n_samples, dtype=jnp.float32) / fs
+    volume = jnp.prod(dims)
+    t_direct = jnp.linalg.norm(src - mic) / SPEED_OF_SOUND
+    t_mix = t_direct + jnp.sqrt(volume) / 1000.0  # s
+
+    # Local ISM energy density just before t_mix (masked mean-square).
+    cal_w = 0.010
+    cal_mask = ((t >= t_mix - cal_w) & (t < t_mix)).astype(jnp.float32)
+    ms_local = jnp.sum(cal_mask * jnp.square(rir)) / jnp.maximum(
+        jnp.sum(cal_mask), 1.0
+    )
+
+    env = jnp.power(10.0, -3.0 * (t - t_mix) / jnp.maximum(rt60, 1e-3))
+    noise = jax.random.normal(key, (n_samples,), jnp.float32)
+    tail = jnp.sqrt(ms_local) * noise * env
+
+    # smoothstep 0->1 over [t_mix, t_mix + 20 ms]
+    x = jnp.clip((t - t_mix) / 0.020, 0.0, 1.0)
+    w = x * x * (3.0 - 2.0 * x)
+    return rir * (1.0 - w) + tail * w
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_samples", "max_order", "fs", "diffuse_tail")
+)
 def simulate_rir(
     dims: jnp.ndarray,  # (3,) room dimensions, meters
     src: jnp.ndarray,  # (3,) source position
@@ -68,6 +121,8 @@ def simulate_rir(
     n_samples: int = N_SAMPLES,
     max_order: int = DEFAULT_MAX_ORDER,
     fs: int = SAMPLE_RATE,
+    diffuse_tail: bool = False,
+    key: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Single-room shoebox ISM -> (n_samples,) float32 RIR."""
     lattice_np, parity_np = _image_grid(max_order)
@@ -104,17 +159,33 @@ def simulate_rir(
     rir = rir.at[jnp.clip(idx0 + 1, 0, n_samples - 1)].add(
         jnp.where(in_range1, amp * frac, 0.0)
     )
+    if diffuse_tail:
+        if key is None:
+            key = jax.random.key(0)
+        rir = _diffuse_tail(rir, dims, src, mic, rt60, key, fs)
     return rir
 
 
-@functools.partial(jax.jit, static_argnames=("n_samples", "max_order", "fs"))
+@functools.partial(
+    jax.jit, static_argnames=("n_samples", "max_order", "fs", "diffuse_tail")
+)
 def simulate_rir_batch(
     dims, src, mic, rt60,
     n_samples: int = N_SAMPLES,
     max_order: int = DEFAULT_MAX_ORDER,
     fs: int = SAMPLE_RATE,
+    diffuse_tail: bool = False,
+    keys: jnp.ndarray | None = None,  # (B,) PRNG keys when diffuse_tail
 ):
     """Batched ISM: (B,3),(B,3),(B,3),(B,) -> (B, n_samples)."""
+    if diffuse_tail:
+        if keys is None:
+            keys = jax.random.split(jax.random.key(0), dims.shape[0])
+        fn = lambda d, s, m, r, k: simulate_rir(
+            d, s, m, r, n_samples=n_samples, max_order=max_order, fs=fs,
+            diffuse_tail=True, key=k
+        )
+        return jax.vmap(fn)(dims, src, mic, rt60, keys)
     fn = lambda d, s, m, r: simulate_rir(
         d, s, m, r, n_samples=n_samples, max_order=max_order, fs=fs
     )
