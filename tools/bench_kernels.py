@@ -68,10 +68,7 @@ def main() -> None:
     F = importlib.import_module("unet_rir_tpu.ops.features")
     from unet_rir_tpu.ops.normalize import denormalize, normalize
     from unet_rir_tpu.ops.pad import crop_to, pad_to
-    from unet_rir_tpu.ops.pallas.stft_pallas import (
-        defeaturize_pallas,
-        featurize_pallas,
-    )
+    from unet_rir_tpu.ops.pallas.stft_pallas import featurize_pallas
 
     B = args.batch
     for dur in args.durations:
@@ -114,8 +111,6 @@ def main() -> None:
             ("featurize/pallas", lambda w: featurize_pallas(w), wav),
             ("defeaturize/fft", mk_defeat("fft"), feat),
             ("defeaturize/matmul", mk_defeat("matmul"), feat),
-            ("defeaturize/pallas",
-             lambda f_: defeaturize_pallas(f_, stft_shape=shape), feat),
         ]
         for name, fn, x in arms:
             try:

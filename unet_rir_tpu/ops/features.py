@@ -14,12 +14,14 @@ Composes the L1 ops into the two hot pipelines:
 Dispatch (measured on v5e, B=256 — RESULTS.md "Kernel-level wins"): the
 default path is the pure-jnp pipeline whose DFTs are MXU matmuls
 (ops.stft method='matmul' on TPU) — XLA fuses the window/normalize/pad
-elementwise chain into the matmuls and it beats both the XLA-FFT path
-(~2x) and the hand-written Pallas kernels (~1.1-2.5x) at every measured
-grid. The fused Pallas kernels (ops.pallas.stft_pallas) remain available
-via use_pallas=True — duration-parametric, interpret-tested, numerically
-equivalent to ~1e-6 — but they are opt-in, not the default: their
-per-sample grid blocks pipeline worse than XLA's batched einsum tiling.
+elementwise chain into the matmuls and it beats the XLA-FFT path (~2x)
+everywhere and the fused Pallas featurize kernel at the 0.2 s grid. At
+wide grids (F >= 301 frames, i.e. durations >= 0.4 s) the Pallas kernel
+measured ahead (1.01 vs 1.09 ms at 0.4 s), so `featurize` auto-dispatches
+to it on TPU there; `use_pallas=True/False` forces either path. The
+defeaturize twin kernel lost in every measured cell and was removed
+(VERDICT r2 item 8) — `use_pallas` on `defeaturize` is no longer
+accepted; the jnp matmul-DFT path IS the fast path.
 """
 
 from __future__ import annotations
@@ -45,15 +47,25 @@ def _featurize_jnp(wav: jnp.ndarray) -> jnp.ndarray:
     ).astype(jnp.float32)
 
 
+# Frame count from which the fused Pallas featurize kernel measures ahead
+# of the XLA matmul-DFT path on TPU (0.4 s grid; RESULTS.md three-way).
+_PALLAS_MIN_FRAMES = 301
+
+
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
 def featurize(wav: jnp.ndarray, use_pallas: bool | None = None) -> jnp.ndarray:
     """wav (..., T) -> feature (..., H, W, 2) float32 in [0, 1].
 
     H, W = model_shape_for the duration's STFT grid ((144, 160) at 0.2 s).
+    use_pallas=None auto-dispatches: the fused kernel on TPU at wide grids
+    (>= 0.4 s), the XLA matmul-DFT path otherwise (module docstring).
     """
-    if use_pallas is None:
-        use_pallas = False  # XLA matmul-DFT measures faster (module docstring)
     n = wav.shape[-1]
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and 1 + n // HOP_LENGTH >= _PALLAS_MIN_FRAMES
+        )
     if use_pallas and n % HOP_LENGTH == 0 and wav.ndim >= 2:
         from unet_rir_tpu.ops.pallas.stft_pallas import featurize_pallas
 
@@ -78,12 +90,11 @@ def _defeaturize_jnp(feature, algorithm, length, stft_shape=STFT_SHAPE):
     raise ValueError(f"unknown algorithm: {algorithm!r}")
 
 
-@functools.partial(jax.jit, static_argnames=("algorithm", "length", "use_pallas", "stft_shape"))
+@functools.partial(jax.jit, static_argnames=("algorithm", "length", "stft_shape"))
 def defeaturize(
     feature: jnp.ndarray,
     algorithm: str = "ph",
     length: int | None = None,
-    use_pallas: bool | None = None,
     stft_shape: tuple[int, int] = STFT_SHAPE,
 ) -> jnp.ndarray:
     """feature (..., H, W, 2) -> wav (..., length).
@@ -95,24 +106,6 @@ def defeaturize(
     """
     if length is None:
         length = HOP_LENGTH * (stft_shape[1] - 1)
-    if use_pallas is None:
-        use_pallas = False  # XLA matmul-DFT measures faster (module docstring)
-    n_native = HOP_LENGTH * (stft_shape[1] - 1)
-    grid = feature.shape[-3:-1]
-    if (
-        use_pallas
-        and algorithm == "ph"
-        and feature.ndim >= 4
-        and grid == model_shape_for(stft_shape)
-        and length <= n_native
-    ):
-        from unet_rir_tpu.ops.pallas.stft_pallas import defeaturize_pallas
-
-        lead = feature.shape[:-3]
-        flat = feature.reshape((-1,) + tuple(grid) + (2,))
-        wav = defeaturize_pallas(flat, stft_shape=tuple(stft_shape))
-        wav = wav.reshape(lead + (n_native,))
-        return wav[..., :length]
     return _defeaturize_jnp(feature, algorithm, length, stft_shape)
 
 

@@ -4,6 +4,6 @@ jnp fallbacks with identical semantics live in unet_rir_tpu.ops; kernels
 run interpreted on CPU for tests.
 """
 
-from unet_rir_tpu.ops.pallas.stft_pallas import featurize_pallas, defeaturize_pallas
+from unet_rir_tpu.ops.pallas.stft_pallas import featurize_pallas
 
-__all__ = ["featurize_pallas", "defeaturize_pallas"]
+__all__ = ["featurize_pallas"]

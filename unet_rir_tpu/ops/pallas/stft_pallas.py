@@ -1,7 +1,7 @@
-"""Fused Pallas TPU kernels for the STFT feature pipelines.
+"""Fused Pallas TPU kernel for the STFT featurize pipeline.
 
-Two kernels (SURVEY.md §7 step 7), each fusing the math-dense middle of a
-feature pipeline into one VMEM-resident program:
+One kernel (SURVEY.md §7 step 7) fusing the math-dense middle of the
+forward feature pipeline into one VMEM-resident program:
 
 * `featurize_pallas`: windowed-DFT + |.|/angle + dB-normalize + pad,
   wav (B, n_samples) -> (B, H, W, 2). The length-256 rfft is computed as
@@ -9,25 +9,28 @@ feature pipeline into one VMEM-resident program:
   contractions land on the MXU where a radix-FFT of this size cannot,
   and the magnitude/atan2/log/normalize chain runs on the VPU without
   materializing any intermediate in HBM.
-* `defeaturize_pallas`: crop + denormalize + A*e^{j phi} +
-  irfft-as-matmul, (B, H, W, 2) -> time frames, followed by an XLA
-  overlap-add. Fuses denorm + cos/sin + two MXU matmuls.
 
-Both kernels are duration-parametric (VERDICT r1 item 6): any hop-aligned
+The kernel is duration-parametric (VERDICT r1 item 6): any hop-aligned
 RIR length keeps the fused fast path — the frame count F = 1 + n/hop and
 the /16 model grid (ops.pad.model_shape_for) are compile-time constants
 baked per shape, e.g. 0.2 s -> F=151, grid (144,160); 0.4 s -> F=301,
 grid (144,304). VMEM footprint grows ~F*256*4 B per block (301 frames
 = 308 KiB), far under the ~16 MiB budget for any practical RIR tail.
 
-STATUS — opt-in, not the default path. A like-for-like three-way bench
-(RESULTS.md "Kernel-level wins": XLA-FFT vs XLA matmul-DFT vs these
-kernels, B=256, both grids) measured the pure-jnp pipeline with
-method='matmul' DFTs FASTER than these kernels (e.g. featurize 0.2 s:
-0.39 ms vs 1.06 ms): XLA fuses the same elementwise chain into batched
-einsum tiles and pipelines them across the batch, while pallas_call's
-one-sample-per-grid-step blocking serializes. ops.features dispatches to
-jnp by default; pass use_pallas=True to use these.
+STATUS — live at wide grids only (VERDICT r2 item 8). The like-for-like
+three-way bench (RESULTS.md "Kernel-level wins": XLA-FFT vs XLA
+matmul-DFT vs Pallas, B=256) measured the pure-jnp matmul-DFT pipeline
+faster at the 0.2 s grid (0.43 vs 0.63 ms) but the fused kernel ahead
+from the 0.4 s grid up (1.01 vs 1.09 ms at F=301): at narrow grids
+pallas_call's one-sample-per-grid-step blocking serializes what XLA
+pipelines across the batch (a multi-sample-block variant measured worse
+— RESULTS.md records that failed experiment), while at wide grids the
+per-sample work is large enough to hide the serialization and the fused
+VPU chain saves the HBM round-trips. `ops.features.featurize` therefore
+auto-dispatches here on TPU when F >= 301; `use_pallas=` still forces
+either path. The round-trip (defeaturize) twin kernel lost to the XLA
+matmul-DFT path in every measured cell and was removed — see PARITY.md
+"Pallas kernels" for the decision record.
 
 Layout notes (why framing/OLA stay in XLA): the hop (64) is half the TPU
 lane width, so frame gathers and overlap-add scatters sit at 64-sample
@@ -37,12 +40,12 @@ while the DFT matmuls + transcendentals are where fusion pays.
 
 Mosaic has no atan2 primitive; phase uses an in-kernel minimax polynomial
 (|err| < 2e-7 rad). Tables are precomputed in NumPy at trace time and fold
-the analysis/synthesis window, Hermitian irfft weights and 1/N.
+the analysis window.
 
-`interpret=True` (automatic on CPU) makes the kernels testable on the
+`interpret=True` (automatic on CPU) makes the kernel testable on the
 virtual-device mesh; the pure-jnp ops in unet_rir_tpu.ops remain the
 always-correct fallback (identical formulas — reference
-preprocess.py:13-41, postprocess.py:116-133).
+preprocess.py:13-41).
 """
 
 from __future__ import annotations
@@ -62,9 +65,7 @@ from unet_rir_tpu.ops.stft import (
     N_BINS,
     N_FFT,
     WIN_LENGTH,
-    _ola_fixed_hop,
     _padded_window,
-    _window_sumsquare,
     frame_signal,
 )
 
@@ -116,28 +117,6 @@ def _analysis_tables() -> tuple[np.ndarray, np.ndarray]:
     c = (w[:, None] * np.cos(ang)).astype(np.float32)
     s = (-w[:, None] * np.sin(ang)).astype(np.float32)
     return c, s
-
-
-@functools.lru_cache(maxsize=None)
-def _synthesis_tables() -> tuple[np.ndarray, np.ndarray]:
-    """Inverse tables ICr/ICi (129, 256) with window+weights+1/N folded."""
-    w = _padded_window(N_FFT, WIN_LENGTH, np.float64)
-    k = np.arange(N_BINS)[:, None]
-    n = np.arange(N_FFT)[None, :]
-    ang = 2.0 * np.pi * k * n / N_FFT
-    weight = np.full((N_BINS, 1), 2.0)
-    weight[0] = weight[-1] = 1.0
-    icr = (weight / N_FFT * np.cos(ang) * w[None, :]).astype(np.float32)
-    ici = (-weight / N_FFT * np.sin(ang) * w[None, :]).astype(np.float32)
-    return icr, ici
-
-
-@functools.lru_cache(maxsize=None)
-def _inv_envelope(n_frames: int) -> np.ndarray:
-    """Reciprocal window-sum-of-squares envelope for one frame count."""
-    wss = _window_sumsquare(n_frames, N_FFT, WIN_LENGTH, HOP_LENGTH)
-    tiny = np.finfo(np.float32).tiny
-    return np.where(wss > tiny, 1.0 / np.maximum(wss, tiny), 1.0).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -214,79 +193,4 @@ def featurize_pallas(wav: jnp.ndarray, interpret: bool | None = None) -> jnp.nda
     return jnp.stack([amp, pha], axis=-1)
 
 
-# ---------------------------------------------------------------------------
-# defeaturize: (H, W, 2) -> wav (n,)
-# ---------------------------------------------------------------------------
-
-
-def _make_defeaturize_kernel(n_frames: int):
-    def kernel(amp_ref, pha_ref, icr_ref, ici_ref, frames_ref):
-        amp_n = amp_ref[0, 0:N_BINS, 0:n_frames]
-        pha_n = pha_ref[0, 0:N_BINS, 0:n_frames]
-        # Denormalize (exact inverse formulas, preprocess.py:34-41).
-        db = amp_n * 100.0 - 100.0
-        amp = (jnp.exp(db * (math.log(10.0) / 20.0)) - 1e-5) * 128.0
-        phase = pha_n * (2.0 * math.pi) - math.pi
-        re = amp * jnp.cos(phase)  # (129, n_frames)
-        im = amp * jnp.sin(phase)
-
-        # irfft as two MXU matmuls: contract the bin axis -> (n_frames, 256).
-        dims = (((0,), (0,)), ((), ()))
-        frames = jax.lax.dot_general(
-            re, icr_ref[:], dims, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            im, ici_ref[:], dims, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        frames_ref[0] = frames
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("stft_shape", "interpret"))
-def defeaturize_pallas(
-    feature: jnp.ndarray,
-    stft_shape: tuple[int, int] = (N_BINS, 151),
-    interpret: bool | None = None,
-) -> jnp.ndarray:
-    """feature (B, H, W, 2) -> wav (B, hop*(n_frames-1)); 'ph' algorithm parity.
-
-    stft_shape = (n_bins, n_frames) of the unpadded grid inside the padded
-    feature (the frame count is NOT recoverable from the /16 grid alone);
-    default is the 0.2 s grid (129, 151).
-    """
-    if interpret is None:
-        interpret = _interpret_default()
-    h_pad, w_pad = feature.shape[-3], feature.shape[-2]
-    n_frames = int(stft_shape[1])
-    if n_frames > w_pad or N_BINS > h_pad:
-        raise ValueError(
-            f"stft_shape ({N_BINS},{n_frames}) does not fit the padded "
-            f"feature grid ({h_pad},{w_pad})"
-        )
-    n_out = HOP_LENGTH * (n_frames - 1)
-    icr, ici = _synthesis_tables()
-    b = feature.shape[0]
-
-    frames = pl.pallas_call(
-        _make_defeaturize_kernel(n_frames),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, h_pad, w_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h_pad, w_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_BINS, N_FFT), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_BINS, N_FFT), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, n_frames, N_FFT), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_frames, N_FFT), jnp.float32),
-        interpret=interpret,
-    )(feature[..., 0], feature[..., 1], jnp.asarray(icr), jnp.asarray(ici))
-
-    # Overlap-add (4 non-overlapping residue groups) + window-sum division
-    # + center crop — XLA reshapes/adds (ops.stft._ola_fixed_hop).
-    y = _ola_fixed_hop(frames, N_FFT, HOP_LENGTH) * jnp.asarray(_inv_envelope(n_frames))
-    return y[..., N_FFT // 2 : N_FFT // 2 + n_out]
-
-
-__all__ = ["featurize_pallas", "defeaturize_pallas"]
+__all__ = ["featurize_pallas"]
