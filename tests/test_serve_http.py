@@ -104,3 +104,34 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=60)
     assert e.value.code == 404
+
+
+def test_bf16_flag_overrides_export_dtype(tmp_path, rng):
+    """--bf16 serves an f32-trained export with bfloat16 compute (params
+    stay f32); outputs stay finite and close to the f32 serve."""
+    folder = tmp_path / "export"
+    model = models.UNet(number_filters_0=2)
+    variables = train.init_model(
+        model, (jnp.zeros((1, 144, 160, 2), jnp.float32),
+                jnp.zeros((1, 2, 16), jnp.int32)))
+    models.save_pretrained(str(folder), model, variables)
+
+    base = ["--model-folder", str(folder), "--port", "0",
+            "--buckets", "2", "--no-warmup"]
+    srv16, s16 = serve_cli.make_server(
+        serve_cli.build_argparser().parse_args(base + ["--bf16"]))
+    srv32, s32 = serve_cli.make_server(
+        serve_cli.build_argparser().parse_args(base))
+    try:
+        assert s16.model.dtype == jnp.bfloat16
+        assert s32.model.dtype == jnp.float32
+        spec = rng.uniform(0, 1, (1, 144, 160, 2)).astype(np.float32)
+        emb = np.zeros((1, 2, 16), np.int32)
+        _, w16 = s16.synthesize(spec, emb)
+        _, w32 = s32.synthesize(spec, emb)
+        assert np.isfinite(w16).all()
+        scale = np.abs(w32).max()
+        assert np.abs(w16 - w32).max() < 0.05 * max(scale, 1e-6)
+    finally:
+        srv16.server_close()
+        srv32.server_close()

@@ -49,6 +49,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="RIR window the model was trained on")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip ahead-of-traffic compilation of the buckets")
+    p.add_argument("--bf16", action="store_true",
+                   help="serve with bfloat16 compute regardless of the "
+                        "export's training dtype (params stay float32; "
+                        "higher throughput on the HBM-bound U-Net fwd)")
     return p
 
 
@@ -126,8 +130,17 @@ def make_server(args):
 
     n = int(round(args.duration * SAMPLE_RATE / HOP_LENGTH)) * HOP_LENGTH
     stft_shape = (N_BINS, 1 + n // HOP_LENGTH)
-    synth = RIRSynthesizer.from_pretrained(
-        args.model_folder, buckets=tuple(args.buckets),
+    from unet_rir_tpu import models
+
+    model, variables = models.load_pretrained(args.model_folder)
+    if args.bf16:
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        model = dataclasses.replace(model, dtype=jnp.bfloat16)
+    synth = RIRSynthesizer(
+        model, variables, buckets=tuple(args.buckets),
         algorithm=args.algorithm, diff_gen=args.diff_gen,
         stft_shape=stft_shape)
     if not args.no_warmup:
