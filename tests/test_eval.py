@@ -62,6 +62,32 @@ class TestMetrics:
         amp = jnp.asarray(np.abs(rng.standard_normal((2, 129, 151))).astype(np.float32) + 0.01)
         np.testing.assert_allclose(np.asarray(eval_mod.log_spectral_distance(amp, amp)), 0.0, atol=1e-5)
 
+    def test_t60_noise_compensation(self):
+        """Chu noise-floor compensation (ISO 3382, opt-in): a -40 dB floor
+        under a short decay inside a wide window must not inflate the
+        estimate — the failure mode that wrecked the near-anechoic room's
+        error at a 1.3 s window with the uncompensated estimator. Default
+        is OFF (the 0.2 s contract regime, where the decay fills the
+        window and the tail is signal, not noise)."""
+        fs = 48000
+        T = 62400
+        t = np.arange(T) / fs
+        rng = np.random.default_rng(0)
+        clean = rng.standard_normal(T) * 10 ** (-3 * t / 0.05)
+        noisy = (clean + 1e-2 * rng.standard_normal(T)).astype(np.float32)
+
+        comp = float(eval_mod.t60_estimate(jnp.asarray(noisy[None]),
+                                           noise_comp=True)[0])
+        default = float(eval_mod.t60_estimate(jnp.asarray(noisy[None]))[0])
+        assert abs(comp - 0.05) < 0.01, comp       # tracks the true decay
+        assert default > 1.0, default              # the documented bias
+        # Clean long decays are unaffected by the correction.
+        long_ = (rng.standard_normal(T) * 10 ** (-3 * t / 1.28)).astype(np.float32)
+        a = float(eval_mod.t60_estimate(jnp.asarray(long_[None]),
+                                        noise_comp=True)[0])
+        b = float(eval_mod.t60_estimate(jnp.asarray(long_[None]))[0])
+        assert abs(a - b) < 0.01 and abs(a - 1.28) < 0.07
+
 
 class TestGeneration:
     def test_assemble_diff(self, rng):

@@ -74,15 +74,34 @@ def log_spectral_distance(amp_true: jnp.ndarray, amp_pred: jnp.ndarray, eps: flo
     return jnp.mean(jnp.sqrt(jnp.mean(jnp.square(lt - lp), axis=1)), axis=-1)
 
 
-def t60_estimate(wav: jnp.ndarray, fs: int = 48000) -> jnp.ndarray:
+def t60_estimate(wav: jnp.ndarray, fs: int = 48000,
+                 noise_comp: bool = False) -> jnp.ndarray:
     """Batch T60 estimate via Schroeder backward integration + T20 fit.
 
     Used for T60-parity checks between synthesized and true RIRs.
     wav: (B, T) -> (B,) seconds.
+
+    noise_comp applies Chu's noise-floor compensation (the ISO 3382
+    recommendation): the per-sample noise energy, estimated from the final
+    10% of the window, is subtracted from the backward integral before the
+    dB fit. Use it ONLY when the analysis window extends well past the
+    room's decay (tail = noise) — e.g. short-T60 rooms inside a 1.3 s
+    window, where an uncompensated fit integrates ~1.25 s of prediction
+    noise and inflates the estimate by an order of magnitude. When the
+    decay fills the window (T60 ≳ window, the 0.2 s contract regime) the
+    "tail" is real reverberant energy and compensation corrupts the fit —
+    hence default off, matching the parity numbers recorded since round 1
+    (measured both ways in RESULTS.md "1.3 s window").
     """
     energy = jnp.square(wav)
     # Schroeder curve: reversed cumulative sum of energy.
     sch = jnp.cumsum(energy[..., ::-1], axis=-1)[..., ::-1]
+    if noise_comp:
+        n = energy.shape[-1]
+        tail = max(1, n // 10)
+        noise_per_samp = jnp.mean(energy[..., n - tail:], axis=-1, keepdims=True)
+        remaining = jnp.arange(n, 0, -1, dtype=energy.dtype)
+        sch = jnp.maximum(sch - noise_per_samp * remaining, 1e-30)
     sch_db = 10.0 * jnp.log10(jnp.maximum(sch / jnp.maximum(sch[..., :1], 1e-20), 1e-20))
 
     t = jnp.arange(wav.shape[-1]) / fs
