@@ -61,6 +61,25 @@ def test_dp_matches_single_device(setup):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-6)
 
 
+def test_dp_with_accumulation_matches_single_device(setup):
+    """Gradient accumulation composes with DP: the microbatch axis is a
+    scan axis, the per-microbatch batch axis keeps its 'data' sharding, and
+    the result equals the single-device accumulated step."""
+    model, opt, make_state, _, batch = setup
+    step = train.make_train_step(model, opt, LossConfig(), accum_steps=2)
+
+    s1, m1 = step(make_state(), batch, jax.random.key(0), 1e-3)
+
+    mesh = parallel.make_mesh(n_data=4, n_spatial=1)
+    s2, m2 = step(parallel.replicate_state(make_state(), mesh),
+                  parallel.shard_batch(batch, mesh), jax.random.key(0), 1e-3)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p2 = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-6)
+
+
 def test_spatial_sharding_compiles_and_matches(setup):
     model, opt, make_state, step, batch = setup
     s1, m1 = step(make_state(), batch, jax.random.key(0), 1e-3)

@@ -341,3 +341,129 @@ class TestPreemption:
         trainer2, seen2 = self._fit(tmp_path, stop_after_epoch=None,
                                     n_epochs=4)
         assert len(seen2) == 2  # epochs 3 and 4 only
+
+
+class TestGradientAccumulation:
+    """accum_steps>1 = mean gradient of the full batch at one microbatch's
+    activation footprint (steps._make_grad_apply)."""
+
+    @staticmethod
+    def _tree_close(a, b, rtol=2e-5, atol=1e-7):
+        la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+        assert len(la) == len(lb)
+        for x, y in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=rtol, atol=atol)
+
+    def test_accum_matches_manual_microbatch_mean(self, rng):
+        """The scan implementation == a hand-rolled microbatch loop with the
+        same fold_in key scheme, BN chaining, and one optimizer update —
+        pins the exact semantics incl. dropout keys and batch_stats carry."""
+        import optax
+
+        model = models.UNet(number_filters_0=4)  # batch_norm=True: BN carry
+        k, b = 2, 4
+        batch = _batch(rng, b=b)
+        variables = train.init_model(model, batch)
+        opt = train.build_optimizer("sgd", 1e-2)
+        cfg = LossConfig()
+        key = jax.random.key(7)
+
+        step = train.make_train_step(model, opt, cfg, accum_steps=k)
+        state = train.TrainState.create(jax.tree.map(jnp.copy, variables), opt)
+        new_state, metrics = step(state, batch, key, 1e-2)
+        assert np.isfinite(metrics["loss"])
+
+        params = variables["params"]
+        bn = variables.get("batch_stats", {})
+
+        def loss_fn(p, bn_, mb, r):
+            v = {"params": p}
+            if bn_:
+                v["batch_stats"] = bn_
+            out, mut = model.apply(
+                v, mb[0], mb[1], training=True,
+                rngs={"dropout": r, "sampling": jax.random.fold_in(r, 1)},
+                mutable=["batch_stats"])
+            pred, aux = out if isinstance(out, tuple) else (out, {})
+            loss, _ = compute_loss(cfg, mb[0], mb[2], pred, aux, p,
+                                   model.L2_PATTERNS)
+            return loss, mut["batch_stats"]
+
+        grad = jax.grad(loss_fn, has_aux=True)
+        gsum = None
+        mb_sz = b // k
+        for m in range(k):
+            mb = tuple(x[m * mb_sz:(m + 1) * mb_sz] for x in batch)
+            grads, bn = grad(params, bn, mb, jax.random.fold_in(key, m))
+            gsum = grads if gsum is None else jax.tree.map(jnp.add, gsum, grads)
+        grads = jax.tree.map(lambda g: g / k, gsum)
+        updates, _ = opt.update(grads, opt.init(params), params)
+        expected = optax.apply_updates(params, updates)
+
+        self._tree_close(new_state.params, expected)
+        self._tree_close(new_state.batch_stats, bn)
+
+    def test_indivisible_batch_raises(self, rng):
+        model = models.UNet(number_filters_0=4, batch_norm=False)
+        batch = _batch(rng, b=3)
+        variables = train.init_model(model, batch)
+        opt = train.build_optimizer("adam", 1e-3)
+        step = train.make_train_step(model, opt, LossConfig(), accum_steps=2)
+        state = train.TrainState.create(variables, opt)
+        with pytest.raises(ValueError, match="not divisible"):
+            step(state, batch, jax.random.key(0), 1e-3)
+
+    def test_fused_epoch_accum_matches_step(self, rng):
+        """A 1-step fused epoch with accum_steps=2 == make_train_step with
+        the same accumulation and the key the epoch body derives."""
+        model = models.UNet(number_filters_0=4)
+        b = 4
+        spec_in, emb_pair, spec_out = _batch(rng, b=b)
+        feats = jnp.concatenate([spec_in, spec_out], axis=0)  # (2b,H,W,2)
+        embs = jnp.asarray(
+            np.random.default_rng(3).integers(0, 1500, (2 * b, 16)).astype(np.int32))
+        idx_in = jnp.arange(b)[None, :]
+        idx_out = jnp.arange(b, 2 * b)[None, :]
+        variables = train.init_model(model, (spec_in, emb_pair))
+        opt = train.build_optimizer("sgd", 1e-2)
+        cfg = LossConfig()
+        key = jax.random.key(11)
+
+        epoch = train.make_train_epoch(model, opt, cfg, accum_steps=2)
+        st_e = train.TrainState.create(jax.tree.map(jnp.copy, variables), opt)
+        st_e, em = epoch(st_e, feats, embs, idx_in, idx_out, key, 1e-2)
+
+        # Replicate the epoch body's batch gather and key derivation.
+        batch = (
+            jnp.take(feats, idx_in[0], axis=0),
+            jnp.stack([jnp.take(embs, idx_in[0], axis=0),
+                       jnp.take(embs, idx_out[0], axis=0)], axis=1),
+            jnp.take(feats, idx_out[0], axis=0),
+        )
+        _, sub = jax.random.split(key)
+        step = train.make_train_step(model, opt, cfg, accum_steps=2)
+        st_s = train.TrainState.create(jax.tree.map(jnp.copy, variables), opt)
+        st_s, sm = step(st_s, batch, sub, 1e-2)
+
+        self._tree_close(st_e.params, st_s.params)
+        np.testing.assert_allclose(float(em["loss"]), float(sm["loss"]),
+                                   rtol=1e-6)
+
+    def test_trainer_accum_loss_decreases(self, rng):
+        """End-to-end: Trainer(accum_steps=2) trains (fused path)."""
+        from unet_rir_tpu.data.corpus import Corpus
+        from unet_rir_tpu.data.pipeline import DataGenerator
+
+        corpus = Corpus.synthetic(n_per_room=4, room=["SmallMeetingRoom"],
+                                  max_order=2, seed=0)
+        gen = DataGenerator(corpus, batch_size=2, partition="train")
+        model = models.UNet(number_filters_0=4, batch_norm=False)
+        cfg = train.TrainerConfig(n_epochs=3, learning_rate=1e-3,
+                                  accum_steps=2, preempt_save=False)
+        trainer = train.Trainer(model, LossConfig(), cfg)
+        state = trainer.init_state(train.init_model(model, gen[0]))
+        state, hist = trainer.fit(state, gen)
+        losses = [r["loss"] for r in hist.rows]
+        assert np.isfinite(losses[-1])
+        assert losses[-1] < losses[0]

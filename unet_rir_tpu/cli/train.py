@@ -120,6 +120,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="override number_filters_0 for UNet-family models")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize forward in backward (larger batches)")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient-accumulation microbatches per step: the "
+                        "optimizer sees the mean gradient of the full batch "
+                        "at one microbatch's activation footprint")
     p.add_argument("--early-stop", type=int, default=None)
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler XLA trace of one extra warm-up "
@@ -215,6 +219,7 @@ def main(argv=None) -> int:
         checkpoint_dir=os.path.join(results_dir, "ckpt"),
         best_export_dir=os.path.join(results_dir, "best"),
         remat=args.remat,
+        accum_steps=args.accum_steps,
         seed=args.seed,
     )
     if is_primary:

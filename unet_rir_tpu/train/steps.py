@@ -64,12 +64,63 @@ def _apply_model(model, variables, spec_in, emb, *, training, rng, mutable):
     return pred, aux, mut
 
 
+def _make_grad_apply(grad_fn, accum_steps: int):
+    """Wrap a value_and_grad fn into (params, bn, batch, rng) ->
+    (grads, metrics, new_bn), optionally microbatching the batch axis.
+
+    accum_steps > 1 = gradient accumulation (a TPU-native addition with no
+    reference counterpart): the batch is reshaped into `accum_steps`
+    microbatches and a lax.scan accumulates the gradient sum on device, so
+    peak activation memory is one microbatch while the optimizer sees the
+    mean gradient of the full batch. Each microbatch folds its index into
+    the step rng (independent dropout masks); BatchNorm statistics chain
+    through the microbatches sequentially (momentum applied once per
+    microbatch — the standard microbatching semantics). Composes with remat
+    and with DP/spatial sharding (the microbatch axis is a scan axis; the
+    per-microbatch batch axis keeps its GSPMD sharding).
+    """
+    if accum_steps <= 1:
+        def apply_once(params, batch_stats, batch, rng):
+            (_, (metrics, new_bn)), grads = grad_fn(params, batch_stats, batch, rng)
+            return grads, metrics, new_bn
+
+        return apply_once
+
+    def apply_accum(params, batch_stats, batch, rng):
+        b = batch[0].shape[0]
+        if b % accum_steps:
+            raise ValueError(
+                f"batch size {b} is not divisible by accum_steps {accum_steps}"
+            )
+        micro = jax.tree.map(
+            lambda x: x.reshape((accum_steps, b // accum_steps) + x.shape[1:]),
+            tuple(batch),
+        )
+        grad_zero = jax.tree.map(jnp.zeros_like, params)
+
+        def body(carry, xs):
+            bn, grad_sum = carry
+            mb, m = xs
+            sub = jax.random.fold_in(rng, m)
+            (_, (metrics, new_bn)), grads = grad_fn(params, bn, mb, sub)
+            return (new_bn, jax.tree.map(jnp.add, grad_sum, grads)), metrics
+
+        (new_bn, grad_sum), metrics = jax.lax.scan(
+            body, (batch_stats, grad_zero), (micro, jnp.arange(accum_steps))
+        )
+        grads = jax.tree.map(lambda g: g / accum_steps, grad_sum)
+        return grads, jax.tree.map(jnp.mean, metrics), new_bn
+
+    return apply_accum
+
+
 def make_train_step(
     model,
     optimizer: optax.GradientTransformation,
     loss_cfg: LossConfig,
     l2_patterns: tuple[str, ...] | None = None,
     remat: bool = False,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build a jitted (state, batch, rng, lr) -> (state, metrics) step.
 
@@ -78,6 +129,9 @@ def make_train_step(
     remat=True rematerializes the forward in the backward pass
     (jax.checkpoint) — trades ~1 extra forward for O(1) activation memory,
     enabling much larger per-chip batches.
+    accum_steps>1 microbatches the step via gradient accumulation (see
+    _make_grad_apply) — large *effective* batches at one microbatch's
+    activation footprint.
     """
     patterns = model.L2_PATTERNS if l2_patterns is None else l2_patterns
 
@@ -102,9 +156,10 @@ def make_train_step(
         return loss, (metrics, mut.get("batch_stats", batch_stats))
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    grad_apply = _make_grad_apply(grad_fn, accum_steps)
 
     def train_step(state: TrainState, batch, rng, lr):
-        (loss, (metrics, new_bn)), grads = grad_fn(
+        grads, metrics, new_bn = grad_apply(
             state.params, state.batch_stats, batch, rng
         )
         opt_state = state.opt_state
@@ -129,6 +184,7 @@ def make_train_epoch(
     loss_cfg: LossConfig,
     l2_patterns: tuple[str, ...] | None = None,
     remat: bool = False,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build a jitted FULL-EPOCH step: one dispatch per epoch.
 
@@ -138,6 +194,8 @@ def make_train_epoch(
     Batches are gathered on device inside a lax.scan over steps — the
     TPU-native answer to the reference's Python-per-batch generator
     (SURVEY.md §7 hard part 7): the host is out of the loop entirely.
+    accum_steps>1 adds an inner gradient-accumulation scan per step (see
+    _make_grad_apply).
     """
     patterns = model.L2_PATTERNS if l2_patterns is None else l2_patterns
 
@@ -162,6 +220,7 @@ def make_train_epoch(
         return loss, (metrics, mut.get("batch_stats", batch_stats))
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    grad_apply = _make_grad_apply(grad_fn, accum_steps)
 
     def epoch(state: TrainState, features, embeddings, idx_in, idx_out, rng, lr):
         def body(carry, idx):
@@ -175,7 +234,7 @@ def make_train_epoch(
                 jnp.take(features, i_out, axis=0),
             )
             key, sub = jax.random.split(key)
-            (_, (metrics, new_bn)), grads = grad_fn(
+            grads, metrics, new_bn = grad_apply(
                 st.params, st.batch_stats, batch, sub
             )
             opt_state = st.opt_state

@@ -47,6 +47,7 @@ class TrainerConfig:
     log_every: int = 0  # steps; 0 = epoch-level only
     fused_epochs: bool = True  # lax.scan the whole epoch on device when possible
     remat: bool = False  # rematerialize forward in backward (bigger batches)
+    accum_steps: int = 1  # gradient accumulation microbatches per step
     preempt_save: bool = True  # SIGTERM/SIGINT -> checkpoint + clean stop
     seed: int = 0
 
@@ -58,10 +59,12 @@ class Trainer:
         self.cfg = cfg
         self.optimizer = opt_mod.build_optimizer(cfg.optimizer, cfg.learning_rate)
         self.train_step = make_train_step(model, self.optimizer, loss_cfg,
-                                          remat=cfg.remat)
+                                          remat=cfg.remat,
+                                          accum_steps=cfg.accum_steps)
         self.eval_step = make_eval_step(model, loss_cfg)
         self.train_epoch = make_train_epoch(model, self.optimizer, loss_cfg,
-                                            remat=cfg.remat)
+                                            remat=cfg.remat,
+                                            accum_steps=cfg.accum_steps)
         self.eval_epoch = make_eval_epoch(model, loss_cfg)
         self.history = History()
         self._stop_requested = False
