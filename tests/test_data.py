@@ -1,5 +1,6 @@
 """Data-layer tests: pairing/split determinism, batch shapes, simulator."""
 
+import os
 import random
 
 import numpy as np
@@ -370,3 +371,35 @@ class TestMeasuredDuration:
         # 0.4 s reload hits its own entry and keeps the full length
         c4b = Corpus.from_directory(root, cache_dir=cache, duration=0.4)
         np.testing.assert_array_equal(np.asarray(c4.wavs), np.asarray(c4b.wavs))
+
+
+def test_synthetic_cache_roundtrip(tmp_path, monkeypatch):
+    """Corpus.synthetic(cache_dir=...): second build loads the .npz without
+    touching the simulator; arrays and pairing identical."""
+    import numpy as np
+
+    from unet_rir_tpu.data import corpus as corpus_mod
+
+    cache = str(tmp_path / "cache")
+    c1 = Corpus.synthetic(n_per_room=4, room=["SmallMeetingRoom"],
+                          max_order=2, cache_dir=cache)
+    files = os.listdir(cache)
+    assert len(files) == 1 and files[0].endswith(".npz")
+
+    def _boom(*a, **k):
+        raise AssertionError("simulator must not run on a cache hit")
+
+    monkeypatch.setattr(corpus_mod.simulator, "simulate_rir_batch", _boom)
+    c2 = Corpus.synthetic(n_per_room=4, room=["SmallMeetingRoom"],
+                          max_order=2, cache_dir=cache)
+    np.testing.assert_array_equal(np.asarray(c1.features), np.asarray(c2.features))
+    np.testing.assert_array_equal(np.asarray(c1.wavs), np.asarray(c2.wavs))
+    assert c1.index_in == c2.index_in and c1.index_out == c2.index_out
+
+    # A different config must MISS (new key), and with the simulator
+    # patched out that miss is observable.
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="must not run"):
+        Corpus.synthetic(n_per_room=4, room=["SmallMeetingRoom"],
+                         max_order=3, cache_dir=cache)

@@ -292,3 +292,83 @@ def test_loop_and_fused_timing_columns_comparable(corpus):
         assert lo <= fu * 5.0 + 0.05, (k, lo, fu)
     assert "transport constant subtracted" in r_loop.timing_method
     assert "transport constant subtracted" in r_fused.timing_method
+
+
+class TestParityMetrics:
+    """North-star parity columns: LSD (+energy gate) and T60
+    (EvalConfig(parity_metrics=True), eval.metrics.parity_metrics)."""
+
+    def test_gated_lsd_ignores_silent_tail(self, rng):
+        """Corrupting only near-silent late frames blows up plain LSD but
+        not the gated one — the motivating wide-window saturation case."""
+        B, F, T = 2, 129, 100
+        amp_true = np.full((B, F, T), 1e-9, np.float32)
+        amp_true[:, :, :30] = rng.uniform(0.1, 1.0, (B, F, 30))
+        amp_pred = amp_true.copy()
+        amp_pred[:, :, 30:] = 1e-3  # wrong, but only where true is silent
+        plain = np.asarray(eval_mod.log_spectral_distance(
+            jnp.asarray(amp_true), jnp.asarray(amp_pred)))
+        gated = np.asarray(eval_mod.log_spectral_distance_gated(
+            jnp.asarray(amp_true), jnp.asarray(amp_pred), 60.0))
+        assert np.all(plain > 20.0)
+        assert np.all(gated < 1e-3)
+
+    def test_huge_gate_recovers_plain_lsd(self, rng):
+        amp_t = rng.uniform(0.01, 1.0, (3, 129, 151)).astype(np.float32)
+        amp_p = rng.uniform(0.01, 1.0, (3, 129, 151)).astype(np.float32)
+        plain = np.asarray(eval_mod.log_spectral_distance(
+            jnp.asarray(amp_t), jnp.asarray(amp_p)))
+        wide = np.asarray(eval_mod.log_spectral_distance_gated(
+            jnp.asarray(amp_t), jnp.asarray(amp_p), 1e9))
+        np.testing.assert_allclose(wide, plain, rtol=1e-5)
+
+    def test_gated_lsd_zero_at_identity(self, rng):
+        amp = rng.uniform(0.01, 1.0, (2, 129, 151)).astype(np.float32)
+        g = np.asarray(eval_mod.log_spectral_distance_gated(
+            jnp.asarray(amp), jnp.asarray(amp)))
+        np.testing.assert_allclose(g, 0.0, atol=1e-5)
+
+    def test_evaluate_parity_loop_fused_match(self, corpus, tmp_path):
+        """parity_metrics=True adds the columns in BOTH eval paths with
+        equal values, and write_reports emits <name>_parity.csv."""
+        model = models.UNet(number_filters_0=4)
+        sample = (corpus.features[:2],
+                  jnp.stack([corpus.embeddings[:2]] * 2, axis=1))
+        variables = train.init_model(model, sample)
+        keys = ("lsd_db", "lsd_gated_db", "t60_true_s", "t60_pred_s",
+                "t60_rel_err")
+
+        r_loop = eval_mod.evaluate(
+            model, variables, corpus,
+            eval_mod.EvalConfig(batch_size=2, parity_metrics=True))
+        r_fused = eval_mod.evaluate(
+            model, variables, corpus,
+            eval_mod.EvalConfig(batch_size=2, parity_metrics=True, fused=True))
+        for k in keys:
+            assert k in r_loop.per_sample
+            np.testing.assert_allclose(r_fused.per_sample[k],
+                                       r_loop.per_sample[k],
+                                       rtol=1e-4, atol=1e-6, err_msg=k)
+        # gated <= plain + eps (dropping floor-saturated frames cannot
+        # raise the average above the plain metric here: tails are silent)
+        assert np.median(r_loop.per_sample["lsd_gated_db"]) <= (
+            np.median(r_loop.per_sample["lsd_db"]) + 1e-3)
+
+        folder = eval_mod.write_reports(r_loop, str(tmp_path), "unet", "ph")
+        parity_csv = os.path.join(folder, "unet_parity.csv")
+        assert os.path.exists(parity_csv)
+        import pandas as pd
+
+        df = pd.read_csv(parity_csv)
+        assert list(df["room"])[0] == "Global"
+        assert "T60 rel err median" in df.columns
+
+    def test_default_eval_has_no_parity_columns(self, corpus):
+        """Off by default: the reference metric schema stays untouched."""
+        model = models.UNet(number_filters_0=4)
+        sample = (corpus.features[:2],
+                  jnp.stack([corpus.embeddings[:2]] * 2, axis=1))
+        variables = train.init_model(model, sample)
+        r = eval_mod.evaluate(model, variables, corpus,
+                              eval_mod.EvalConfig(batch_size=2))
+        assert "lsd_db" not in r.per_sample

@@ -61,6 +61,17 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--fused-window", type=int, default=2048,
                    help="max samples materialized on device at once in "
                         "--fused mode (bounds HBM for huge splits)")
+    p.add_argument("--parity-metrics", action="store_true",
+                   help="additionally compute the north-star parity columns "
+                        "(LSD, energy-gated LSD, T60 relative error) per "
+                        "sample and write <name>_parity.csv")
+    p.add_argument("--t60-noise-comp", action="store_true",
+                   help="Chu/ISO-3382 noise-floor compensation in the T60 "
+                        "fit — use only when the window extends well past "
+                        "the decay (see eval.metrics.t60_estimate)")
+    p.add_argument("--lsd-gate-db", type=float, default=60.0,
+                   help="energy gate (dB below the loudest frame) for the "
+                        "gated LSD column")
     p.add_argument("--plot-every", type=int, default=640,
                    help="save 4 diagnostic PNGs every N samples (reference "
                         "default, rir_generation.py:295-308); 0 disables")
@@ -78,7 +89,8 @@ def main(argv=None) -> int:
     if args.synthetic:
         corpus = Corpus.synthetic(n_per_room=args.synthetic, room=args.rooms,
                                   duration=args.duration,
-                                  diffuse_tail=args.diffuse_tail)
+                                  diffuse_tail=args.diffuse_tail,
+                                  cache_dir=args.cache_dir)
     elif args.data_dir:
         corpus = Corpus.from_directory(args.data_dir, args.dataset_name,
                                        room=args.rooms, array=args.arrays,
@@ -136,6 +148,9 @@ def main(argv=None) -> int:
             plot_every=args.plot_every,
             fused=args.fused,
             fused_window=args.fused_window,
+            parity_metrics=args.parity_metrics,
+            t60_noise_comp=args.t60_noise_comp,
+            lsd_gate_db=args.lsd_gate_db,
         )
         result = evaluate(model, variables, corpus, cfg)
         folder = write_reports(result, args.saving_path, name, args.algorithm)
@@ -143,6 +158,15 @@ def main(argv=None) -> int:
         print(f"Reports in {folder}")
         print(f"  Global MSE spectrogram: {rows['Global']['mse_spectrogram']:.4g}, "
               f"misalignment wav: {rows['Global']['misalignment_waveform_db']:.4g} dB")
+        if args.parity_metrics:
+            import numpy as np
+
+            ps = result.per_sample
+            print(f"  LSD median: {np.median(ps['lsd_db']):.4g} dB "
+                  f"(gated {np.median(ps['lsd_gated_db']):.4g} dB), "
+                  f"T60 rel err median: {100 * np.median(ps['t60_rel_err']):.4g}% "
+                  f"mean: {100 * np.mean(ps['t60_rel_err']):.4g}% "
+                  f"(table: {name}_parity.csv)")
         print(f"  t_inference/batch: {result.timing['t_model_inference_avg']:.5f}s, "
               f"t_postprocess/sample: {result.timing['t_postprocess']:.5f}s")
     return 0

@@ -176,7 +176,8 @@ def main(argv=None) -> int:
     if args.synthetic:
         corpus = Corpus.synthetic(n_per_room=args.synthetic, room=args.rooms,
                                   duration=args.duration,
-                                  diffuse_tail=args.diffuse_tail)
+                                  diffuse_tail=args.diffuse_tail,
+                                  cache_dir=args.cache_dir)
     elif args.data_dir:
         corpus = Corpus.from_directory(args.data_dir, args.dataset_name,
                                        room=args.rooms, array=args.arrays,

@@ -219,6 +219,7 @@ class Corpus:
         max_order: int = 6,
         duration: float = 0.2,
         diffuse_tail: bool = False,
+        cache_dir: str | None = None,
     ) -> "Corpus":
         """Generate a corpus from the on-device image-source simulator.
 
@@ -230,8 +231,25 @@ class Corpus:
         truncated image lattice into a Sabine-decay noise tail
         (simulator._diffuse_tail) so long-T60 rooms exhibit their real
         decay at wide windows — required for honest T60 means at ≥1.3 s.
+        cache_dir persists the generated corpus keyed by the full
+        generation config (deterministic), so resumed/chunked training
+        runs skip the simulate+featurize build entirely.
         """
         sel_rooms = tuple(room) if room and list(room) != ["All"] else _DEFAULT_ROOMS
+        cache_path = None
+        if cache_dir:
+            import hashlib
+
+            key = (f"v{_CACHE_VERSION}|synth|n{n_per_room}"
+                   f"|r{','.join(sel_rooms)}|s{seed}|o{max_order}"
+                   f"|ns{_hop_aligned_samples(duration)}|dt{int(diffuse_tail)}")
+            cache_path = os.path.join(
+                cache_dir, f"corpus-{hashlib.sha1(key.encode()).hexdigest()[:16]}.npz")
+            cached = _load_cache(cache_path)
+            if cached is not None:
+                features, wavs_a, embeddings, cached_samples = cached
+                return cls(jnp.asarray(features), jnp.asarray(embeddings),
+                           cached_samples, seed, wavs=jnp.asarray(wavs_a))
         samples: list[Sample] = []
         dims_l, src_l, mic_l, rt60_l = [], [], [], []
         zones = "ABCDE"
@@ -269,6 +287,9 @@ class Corpus:
         rirs = rirs - jnp.mean(rirs, axis=-1, keepdims=True)
         features = featurize(rirs)
         embeddings = _embed_samples(samples)
+        if cache_path:
+            _save_cache(cache_path, np.asarray(features), np.asarray(rirs),
+                        np.asarray(embeddings), samples)
         return cls(features, embeddings, samples, seed, wavs=rirs)
 
     # -- pairing (reference dataset.py:173-182) ------------------------------

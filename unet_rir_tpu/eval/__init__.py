@@ -4,6 +4,8 @@ from unet_rir_tpu.eval.metrics import (
     spectrogram_metrics,
     waveform_metrics,
     log_spectral_distance,
+    log_spectral_distance_gated,
+    parity_metrics,
     t60_estimate,
     FIFTY_MS_SAMPLES,
 )
@@ -21,6 +23,8 @@ __all__ = [
     "spectrogram_metrics",
     "waveform_metrics",
     "log_spectral_distance",
+    "log_spectral_distance_gated",
+    "parity_metrics",
     "t60_estimate",
     "FIFTY_MS_SAMPLES",
     "EvalConfig",

@@ -67,6 +67,9 @@ class EvalConfig:
     spatial: bool = False  # additionally shard the spectrogram width axis
     fused: bool = False  # whole-split lax.scan phases (3 dispatches/window)
     fused_window: int = 2048  # max samples materialized on device at once
+    parity_metrics: bool = False  # add LSD (+gated) and T60 per-sample columns
+    t60_noise_comp: bool = False  # Chu noise-floor compensation (wide windows)
+    lsd_gate_db: float = 60.0  # energy gate for lsd_gated_db
 
 
 def assemble_prediction(spec_in, spec_pred, diff_gen: bool):
@@ -162,6 +165,7 @@ def evaluate(
     if cfg.fused:
         return _evaluate_fused(model, variables, corpus, cfg, gen, stft_shape)
     forward = make_forward(model)
+    score_fn = _make_score(cfg, stft_shape)
     shard = None
     if cfg.mesh is not None:
         # Multi-chip DP eval: replicate variables, shard every batch over
@@ -213,7 +217,7 @@ def evaluate(
             pred, spec_in, cfg.algorithm, cfg.diff_gen, stft_shape)
         sync(wav_pred)
         t2 = time.time()
-        batch_metrics = _score(assembled, spec_out, wav_pred, wav_true)
+        batch_metrics = score_fn(assembled, spec_out, wav_pred, wav_true)
         sync(batch_metrics)
         t3 = time.time()
 
@@ -322,13 +326,15 @@ def _evaluate_fused(model, variables, corpus, cfg: EvalConfig,
         _, (assembled, wavs) = jax.lax.scan(body, 0, (preds, idx_in))
         return assembled, wavs
 
+    score_fn = _make_score(cfg, stft_shape)
+
     @jax.jit
     def score_all(assembled, feats, corpus_wavs, wav_pred, idx_out):
         def body(_, x):
             a, w, io = x
             spec_out = jnp.take(feats, io, axis=0)
             wav_true = jnp.take(corpus_wavs, io, axis=0)
-            return 0, _score(a, spec_out, w, wav_true)
+            return 0, score_fn(a, spec_out, w, wav_true)
 
         _, m = jax.lax.scan(body, 0, (assembled, wav_pred, idx_out))
         return m  # dict of (n_batches, B)
@@ -472,6 +478,25 @@ def _score(assembled, spec_out, wav_pred, wav_true):
     out = dict(metrics_mod.spectrogram_metrics(spec_out, assembled))
     out.update(metrics_mod.waveform_metrics(wav_true, wav_pred))
     return out
+
+
+def _make_score(cfg: "EvalConfig", stft_shape):
+    """Reference metric suite, plus the north-star parity columns (LSD,
+    gated LSD, T60) when cfg.parity_metrics — one jitted program either
+    way, shared by the loop and fused paths."""
+    if not cfg.parity_metrics:
+        return _score
+    noise_comp, gate_db = cfg.t60_noise_comp, cfg.lsd_gate_db
+
+    @jax.jit
+    def score(assembled, spec_out, wav_pred, wav_true):
+        out = dict(_score(assembled, spec_out, wav_pred, wav_true))
+        out.update(metrics_mod.parity_metrics(
+            assembled, spec_out, wav_pred, wav_true, stft_shape=stft_shape,
+            noise_comp=noise_comp, gate_db=gate_db))
+        return out
+
+    return score
 
 
 def _save_diagnostic_plots(cfg: EvalConfig, plot_count: int, assembled,

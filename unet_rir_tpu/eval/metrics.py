@@ -74,6 +74,34 @@ def log_spectral_distance(amp_true: jnp.ndarray, amp_pred: jnp.ndarray, eps: flo
     return jnp.mean(jnp.sqrt(jnp.mean(jnp.square(lt - lp), axis=1)), axis=-1)
 
 
+@jax.jit
+def log_spectral_distance_gated(
+    amp_true: jnp.ndarray,
+    amp_pred: jnp.ndarray,
+    gate_db: float = 60.0,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Energy-gated LSD: average per-frame LSD only over time frames whose
+    TRUE frame energy lies within `gate_db` of the sample's loudest frame.
+
+    Plain LSD at wide analysis windows is dominated by near-silent late
+    frames where the log distance saturates at the floor (RESULTS.md "1.3 s
+    window" caveat) — a 1.3 s window's LSD is not comparable to a 0.2 s
+    one. Gating restricts the average to frames that carry signal, the
+    standard practice from speech coding (frames below the gate carry no
+    perceptual information), making LSD comparable across window lengths.
+    gate_db=inf (or very large) recovers the plain metric.
+    """
+    lt = 20.0 * jnp.log10(jnp.maximum(amp_true, eps))
+    lp = 20.0 * jnp.log10(jnp.maximum(amp_pred, eps))
+    frame_lsd = jnp.sqrt(jnp.mean(jnp.square(lt - lp), axis=1))  # (B, T)
+    energy = jnp.sum(jnp.square(amp_true), axis=1)  # (B, T)
+    thr = jnp.max(energy, axis=-1, keepdims=True) * 10.0 ** (-gate_db / 10.0)
+    gate = (energy >= thr).astype(frame_lsd.dtype)
+    return jnp.sum(frame_lsd * gate, axis=-1) / jnp.maximum(
+        jnp.sum(gate, axis=-1), 1.0)
+
+
 def t60_estimate(wav: jnp.ndarray, fs: int = 48000,
                  noise_comp: bool = False) -> jnp.ndarray:
     """Batch T60 estimate via Schroeder backward integration + T20 fit.
@@ -121,10 +149,47 @@ def t60_estimate(wav: jnp.ndarray, fs: int = 48000,
     return jax.vmap(fit_one)(sch_db)
 
 
+def parity_metrics(
+    assembled: jnp.ndarray,
+    spec_out: jnp.ndarray,
+    wav_pred: jnp.ndarray,
+    wav_true: jnp.ndarray,
+    stft_shape: tuple[int, int],
+    fs: int = 48000,
+    noise_comp: bool = False,
+    gate_db: float = 60.0,
+) -> dict:
+    """Per-sample north-star parity metrics (BASELINE.json: LSD + T60).
+
+    Takes the NORMALIZED padded spectrograms the eval loop already holds
+    ((B, Hp, Wp, 2) model grids), crops the zero-pad back to `stft_shape`
+    and denormalizes the amplitude channel to linear magnitude before the
+    LSD; T60 comes from the vocoded waveforms via the Schroeder T20 fit.
+    Returns lsd_db, lsd_gated_db (energy-gated, see
+    log_spectral_distance_gated), t60_true_s, t60_pred_s, t60_rel_err.
+    """
+    from unet_rir_tpu.ops.normalize import denormalize_amp
+
+    fbins, frames = stft_shape
+    amp_t = denormalize_amp(spec_out[:, :fbins, :frames, 0])
+    amp_p = denormalize_amp(assembled[:, :fbins, :frames, 0])
+    t60_t = t60_estimate(wav_true, fs=fs, noise_comp=noise_comp)
+    t60_p = t60_estimate(wav_pred, fs=fs, noise_comp=noise_comp)
+    return {
+        "lsd_db": log_spectral_distance(amp_t, amp_p),
+        "lsd_gated_db": log_spectral_distance_gated(amp_t, amp_p, gate_db),
+        "t60_true_s": t60_t,
+        "t60_pred_s": t60_p,
+        "t60_rel_err": jnp.abs(t60_p - t60_t) / jnp.maximum(t60_t, 1e-6),
+    }
+
+
 __all__ = [
     "FIFTY_MS_SAMPLES",
     "spectrogram_metrics",
     "waveform_metrics",
     "log_spectral_distance",
+    "log_spectral_distance_gated",
+    "parity_metrics",
     "t60_estimate",
 ]

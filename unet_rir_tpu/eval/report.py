@@ -75,7 +75,39 @@ def write_reports(result: EvalResult, out_dir: str, name: str, algorithm: str = 
     pd.DataFrame(loss_data).to_csv(os.path.join(folder, f"{name}_losses.csv"), index=False)
 
     _write_txt(result, rooms, folder, name)
+    if "lsd_db" in result.per_sample:
+        _write_parity_csv(result, folder, name)
     return folder
+
+
+def _write_parity_csv(result: EvalResult, folder: str, name: str) -> None:
+    """North-star parity table (no reference counterpart — LSD/T60 are the
+    BASELINE.json quality gates): per-room medians + the T60 mean, the
+    statistics RESULTS.md's quality tables report. Written only when the
+    eval ran with EvalConfig(parity_metrics=True)."""
+    from unet_rir_tpu.eval.generation import _ROOM_TO_ROW
+
+    rooms_arr = np.array([_ROOM_TO_ROW.get(r, r) for r in result.rooms])
+    ps = result.per_sample
+    data: dict[str, list] = {"room": [], "n samples": []}
+    cols = (
+        ("LSD median (dB)", "lsd_db", np.median),
+        ("LSD gated median (dB)", "lsd_gated_db", np.median),
+        ("T60 rel err median", "t60_rel_err", np.median),
+        ("T60 rel err mean", "t60_rel_err", np.mean),
+        ("T60 true median (s)", "t60_true_s", np.median),
+        ("T60 pred median (s)", "t60_pred_s", np.median),
+    )
+    for col, _, _ in cols:
+        data[col] = []
+    for row in REPORT_ROOMS:
+        sel = np.ones(len(rooms_arr), bool) if row == "Global" else rooms_arr == row
+        data["room"].append(row)
+        data["n samples"].append(int(sel.sum()))
+        for col, key, stat in cols:
+            data[col].append(
+                _fmt(float(stat(ps[key][sel])), "positional") if sel.any() else "nan")
+    pd.DataFrame(data).to_csv(os.path.join(folder, f"{name}_parity.csv"), index=False)
 
 
 def _write_txt(result: EvalResult, rooms: dict, folder: str, name: str) -> None:
