@@ -32,6 +32,17 @@ class TestTrainArgs:
         with pytest.raises(SystemExit):
             train_cli.build_argparser().parse_args(["--loss-family", "nope"])
 
+    def test_process_topology_without_coordinator_refused(self, tmp_path):
+        """--num-processes/--process-id without --coordinator-address must
+        refuse, not degrade to N independent full trainings racing on the
+        results dir."""
+        with pytest.raises(SystemExit, match="coordinator-address"):
+            train_cli.main([
+                "--name", "unet", "--synthetic", "4", "--epochs", "1",
+                "--results-dir", str(tmp_path),
+                "--num-processes", "2", "--process-id", "0",
+            ])
+
 
 class TestGenerateArgs:
     def test_reference_defaults(self):

@@ -184,6 +184,20 @@ class TestBucketedServing:
         assert bsynth._plan(37) == [16, 16, 8]
         assert bsynth._plan(33) == [16, 16, 4]
 
+    def test_plan_remainder_never_rounds_up_to_throughput_batch(self, bsynth):
+        """A remainder between two buckets must combine smaller buckets
+        (minimal padding), not round up to the next bucket: 33 with
+        (8, 32, 128) is [32, 8] (7 padded rows), not [128] (95)."""
+        wide = RIRSynthesizer(bsynth.model, bsynth.variables,
+                              buckets=(8, 32, 128))
+        assert wide._plan(33) == [32, 8]
+        assert wide._plan(129) == [128, 8]
+        assert wide._plan(100) == [32, 32, 32, 8]
+        assert wide._plan(128) == [128]
+        # (4, 8, 16): remainder 5 still prefers ONE 8-wide dispatch over
+        # two 4-wide ones (same padding, fewer dispatches).
+        assert bsynth._plan(21) == [16, 8]
+
     def test_bucketed_matches_fixed_batch(self, bsynth, rng):
         spec, emb = _request(rng, 21)  # 16 + tail 8 (pad 3)
         _, w_bucketed = bsynth.synthesize(spec, emb)

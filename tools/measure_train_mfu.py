@@ -97,13 +97,22 @@ def measure(batch_size: int, bf16: bool, filters: int, peak_tflops: float,
     # batch 256), so one sample reads as a regression across rounds. Report
     # best-of-3 plus the spread so drivers can tell variance from change
     # (VERDICT r2 weak #5).
-    estimates = []
+    smalls, larges, estimates = [], [], []
     for _ in range(3):
         t_small = min(run(K_SMALL) for _ in range(2))
         t_large = min(run(K_LARGE) for _ in range(2))
+        smalls.append(t_small)
+        larges.append(t_large)
         estimates.append((t_large - t_small) / (K_LARGE - K_SMALL))
-    per_step = min(estimates)
-    spread_pct = round(100.0 * (max(estimates) - min(estimates)) / per_step, 1)
+    # Headline = min of each LEG across all repeats, not min of the three
+    # differences: a repeat whose small leg stalled (tunnel degradation)
+    # but whose large leg ran clean yields a too-small — even negative —
+    # difference, and min-of-differences would select exactly that
+    # artifact. min-of-legs only pairs clean runs with clean runs.
+    per_step = (min(larges) - min(smalls)) / (K_LARGE - K_SMALL)
+    assert per_step > 0, (smalls, larges)
+    spread_pct = round(
+        100.0 * (max(estimates) - min(estimates)) / per_step, 1)
     samples_per_sec = batch_size / per_step
     out = {
         "batch_size": batch_size,

@@ -102,18 +102,23 @@ def make_handler(synth, model_name: str, lock: threading.Lock):
                     emb = _decode_array(req["emb"], np.int32)
                     with lock:
                         _, wavs = synth.synthesize(spec_in, emb)
+                        # Capture inside the lock: ThreadingHTTPServer
+                        # overlaps requests, and another request's
+                        # synthesize() would overwrite the attribute.
+                        dispatch_sizes = synth.last_dispatch_sizes
                 else:
                     source = [tuple(s) for s in req["source"]]
                     target = [tuple(t) for t in req["target"]]
                     with lock:
                         _, wavs = synth.synthesize_positions(
                             spec_in, source, target)
+                        dispatch_sizes = synth.last_dispatch_sizes
                 self._reply(200, {
                     "wavs": base64.b64encode(
                         np.ascontiguousarray(wavs, np.float32).tobytes()
                     ).decode(),
                     "shape": list(wavs.shape),
-                    "dispatch_sizes": synth.last_dispatch_sizes,
+                    "dispatch_sizes": dispatch_sizes,
                 })
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
@@ -125,10 +130,11 @@ def make_server(args):
     """Build (server, synthesizer); split from main() for in-process tests."""
     from http.server import ThreadingHTTPServer
 
-    from unet_rir_tpu.ops.stft import HOP_LENGTH, N_BINS, SAMPLE_RATE
+    from unet_rir_tpu.data.corpus import _hop_aligned_samples
+    from unet_rir_tpu.ops.stft import HOP_LENGTH, N_BINS
     from unet_rir_tpu.serving import RIRSynthesizer
 
-    n = int(round(args.duration * SAMPLE_RATE / HOP_LENGTH)) * HOP_LENGTH
+    n = _hop_aligned_samples(args.duration)  # same contract as the corpus
     stft_shape = (N_BINS, 1 + n // HOP_LENGTH)
     from unet_rir_tpu import models
 

@@ -149,6 +149,15 @@ def main(argv=None) -> int:
         dist_kwargs = dict(coordinator_address=args.coordinator_address,
                            num_processes=args.num_processes,
                            process_id=args.process_id)
+    elif args.num_processes is not None or args.process_id is not None:
+        # Without a coordinator these flags would be silently dropped and
+        # every worker would train the full job independently, racing on
+        # the results dir — refuse instead.
+        raise SystemExit(
+            "--num-processes/--process-id require --coordinator-address "
+            "(multi-host launches need a coordinator; single-host runs "
+            "should pass none of the three)"
+        )
     from unet_rir_tpu.parallel.mesh import initialize_distributed
 
     initialize_distributed(**dist_kwargs)

@@ -373,7 +373,11 @@ def _load_cache(path: str):
 
 def _save_cache(path: str, features, wavs, embeddings, samples: list["Sample"]):
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp.npz"  # savez appends .npz only when missing
+    # Writer-unique tmp name: concurrent writers (e.g. every process of a
+    # multi-host launch missing the same cache key) must not truncate each
+    # other's half-written archive; each publishes atomically and the last
+    # os.replace wins with identical content.
+    tmp = f"{path}.tmp.{os.getpid()}.npz"  # savez appends .npz only when missing
     np.savez(
         tmp,
         features=features,

@@ -502,7 +502,15 @@ def _make_score(cfg: "EvalConfig", stft_shape):
 def _save_diagnostic_plots(cfg: EvalConfig, plot_count: int, assembled,
                            spec_out, wav_pred, wav_true, sample) -> None:
     """The four per-interval diagnostic figures (rir_generation.py:295-308)."""
-    from unet_rir_tpu.utils import visualize as viz
+    try:
+        from unet_rir_tpu.utils import visualize as viz
+    except ImportError as e:  # matplotlib-less environment: plots are
+        # diagnostics, not results — warn once, never abort a finished eval.
+        import warnings
+
+        warnings.warn(f"diagnostic plots skipped ({e}); "
+                      "install matplotlib or pass --plot-every 0")
+        return
 
     folder = os.path.join(cfg.out_dir, f"{cfg.name}_{cfg.algorithm}", "png")
     os.makedirs(folder, exist_ok=True)

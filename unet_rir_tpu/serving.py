@@ -98,23 +98,46 @@ class RIRSynthesizer:
 
     def _plan(self, n: int) -> list[int]:
         """Fixed-shape dispatch sizes for an n-sample request: greedy
-        largest-bucket chunks, then ONE smallest-bucket-that-fits tail (so
-        small requests never execute the throughput batch)."""
-        sizes = []
+        largest-bucket chunks for the bulk, then a minimal-padding tail —
+        the fewest-dispatch bucket combination whose sum is the smallest
+        reachable value >= the remainder. A 33-sample request with buckets
+        (8, 32, 128) runs [32, 8] (7 padded rows), never the 128-wide
+        throughput batch (95 padded rows); a 5-sample request with buckets
+        (4, 8, 16) runs [8] (one dispatch), not [4, 4] (two)."""
         big = self.buckets[-1]
-        while n >= big:
-            sizes.append(big)
-            n -= big
-        if n:
-            sizes.append(next(b for b in self.buckets if b >= n))
+        k, r = divmod(n, big)
+        sizes = [big] * k
+        if r:
+            sizes += self._tail_plan(r)
         return sizes
+
+    def _tail_plan(self, r: int) -> list[int]:
+        """Cover a remainder 0 < r < max-bucket: exact-sum coin-change DP
+        over the buckets, minimizing (padded rows, then dispatch count)."""
+        big = self.buckets[-1]
+        inf = 1 << 30
+        # coins[s] = min #buckets summing exactly to s; choice[s] = a bucket
+        # in that optimum (for reconstruction).
+        coins = [0] + [inf] * big
+        choice = [0] * (big + 1)
+        for s in range(1, big + 1):
+            for b in self.buckets:
+                if b <= s and coins[s - b] + 1 < coins[s]:
+                    coins[s] = coins[s - b] + 1
+                    choice[s] = b
+        s = next(s for s in range(r, big + 1) if coins[s] < inf)  # big always reachable
+        out: list[int] = []
+        while s:
+            out.append(choice[s])
+            s -= choice[s]
+        return sorted(out, reverse=True)
 
     def synthesize(self, spec_in, emb) -> tuple[np.ndarray, np.ndarray]:
         """(N,H,W,2) float + (N,2,16) int -> (spectrograms, wavs).
 
         Any N is accepted; requests are processed as fixed-shape chunks
-        chosen from `self.buckets` (greedy largest + one best-fit tail,
-        padded only up to that tail bucket). H/W must match the
+        chosen from `self.buckets` (greedy largest bulk + minimal-padding
+        tail — see _plan). H/W must match the
         synthesizer's grid (self.grid), i.e. the model's trained duration.
         """
         spec_in = np.asarray(spec_in, np.float32)
