@@ -79,6 +79,28 @@ class TestEndToEnd:
         assert rc == 0
         assert os.path.exists(str(tmp_path / "gen" / "unet_ph" / "unet_losses.csv"))
 
+    def test_compile_cache_dir_persists_executables(self, tmp_path):
+        """--compile-cache-dir fills a persistent XLA cache (warm restarts
+        skip first-compile); the flag exists on all three CLIs."""
+        import jax
+
+        cache = tmp_path / "xla_cache"
+        try:
+            rc = train_cli.main([
+                "--name", "unet", "--synthetic", "6", "--epochs", "1",
+                "--batch-size", "2", "--lr", "1e-4", "--filters", "2",
+                "--results-dir", str(tmp_path / "res"),
+                "--compile-cache-dir", str(cache),
+            ])
+        finally:  # the cache dir is process-global jax config: unset it
+            jax.config.update("jax_compilation_cache_dir", None)
+        assert rc == 0
+        assert any(cache.iterdir()), "compilation cache is empty"
+        from unet_rir_tpu.cli import serve as serve_cli
+
+        for parser in (gen_cli.build_argparser(), serve_cli.build_argparser()):
+            assert parser.get_default("compile_cache_dir") is None
+
     def test_training_deterministic(self, tmp_path):
         """Same seed -> byte-identical first-epoch history (SURVEY §5.2)."""
 

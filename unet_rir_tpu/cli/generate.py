@@ -42,6 +42,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--debugging", action="store_true",
                    help="quick-load: stop after the first array folder "
                         "(reference Dataset(debugging=True))")
+    p.add_argument("--compile-cache-dir", default=None,
+                   help="persistent XLA compilation cache (skip first-compile "
+                        "cost on re-runs; shareable across entry points)")
     p.add_argument("--cache-dir", default=None,
                    help="persist the featurized corpus here; later runs "
                         "load it instead of re-decoding every wav")
@@ -86,6 +89,10 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
 
+    if args.compile_cache_dir:
+        from unet_rir_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache_dir)
     if args.synthetic:
         corpus = Corpus.synthetic(n_per_room=args.synthetic, room=args.rooms,
                                   duration=args.duration,

@@ -47,6 +47,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--diff-gen", action="store_true")
     p.add_argument("--duration", type=float, default=0.2,
                    help="RIR window the model was trained on")
+    p.add_argument("--compile-cache-dir", default=None,
+                   help="persistent XLA compilation cache: a restarted server "
+                        "skips recompiling every bucket's program")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip ahead-of-traffic compilation of the buckets")
     p.add_argument("--bf16", action="store_true",
@@ -129,6 +132,11 @@ def make_handler(synth, model_name: str, lock: threading.Lock):
 def make_server(args):
     """Build (server, synthesizer); split from main() for in-process tests."""
     from http.server import ThreadingHTTPServer
+
+    if getattr(args, "compile_cache_dir", None):
+        from unet_rir_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache_dir)
 
     from unet_rir_tpu.data.corpus import _hop_aligned_samples
     from unet_rir_tpu.ops.stft import HOP_LENGTH, N_BINS

@@ -129,6 +129,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="write a jax.profiler XLA trace of one extra warm-up "
                         "epoch here before training starts (open with "
                         "TensorBoard's profile plugin)")
+    p.add_argument("--compile-cache-dir", default=None,
+                   help="persistent XLA compilation cache: warm restarts "
+                        "(preemption resume, re-runs) skip the first-compile "
+                        "cost; safe to share across models/entry points")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -161,6 +165,10 @@ def main(argv=None) -> int:
     from unet_rir_tpu.parallel.mesh import initialize_distributed
 
     initialize_distributed(**dist_kwargs)
+    if args.compile_cache_dir:
+        from unet_rir_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache_dir)
 
     import jax.numpy as jnp
 
