@@ -198,6 +198,22 @@ class TestBucketedServing:
         # two 4-wide ones (same padding, fewer dispatches).
         assert bsynth._plan(21) == [16, 8]
 
+    def test_plan_invariants_all_n(self, bsynth):
+        """For every request size: chunks are real buckets, they cover n,
+        and padding never reaches a full smallest bucket beyond the
+        minimal reachable sum."""
+        wide = RIRSynthesizer(bsynth.model, bsynth.variables,
+                              buckets=(8, 32, 128))
+        for synth in (bsynth, wide):
+            buckets = set(synth.buckets)
+            step = min(buckets)
+            for n in range(1, 2 * max(buckets) + 3):
+                plan = synth._plan(n)
+                total = sum(plan)
+                assert set(plan) <= buckets, (n, plan)
+                assert total >= n, (n, plan)
+                assert total - n < step, (n, plan)  # minimal padding
+
     def test_bucketed_matches_fixed_batch(self, bsynth, rng):
         spec, emb = _request(rng, 21)  # 16 + tail 8 (pad 3)
         _, w_bucketed = bsynth.synthesize(spec, emb)
