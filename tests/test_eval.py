@@ -62,6 +62,31 @@ class TestMetrics:
         amp = jnp.asarray(np.abs(rng.standard_normal((2, 129, 151))).astype(np.float32) + 0.01)
         np.testing.assert_allclose(np.asarray(eval_mod.log_spectral_distance(amp, amp)), 0.0, atol=1e-5)
 
+    def test_lsd_gated_huge_gate_recovers_plain(self, rng):
+        """gate_db=200 admits every frame -> gated LSD == plain LSD."""
+        amp_t = jnp.asarray(np.abs(rng.standard_normal((2, 129, 151))).astype(np.float32) + 0.01)
+        amp_p = jnp.asarray(np.abs(rng.standard_normal((2, 129, 151))).astype(np.float32) + 0.01)
+        plain = np.asarray(eval_mod.log_spectral_distance(amp_t, amp_p))
+        gated = np.asarray(eval_mod.log_spectral_distance_gated(amp_t, amp_p, gate_db=200.0))
+        np.testing.assert_allclose(gated, plain, rtol=1e-5)
+
+    def test_lsd_gated_excludes_silent_frames(self, rng):
+        """Frames whose TRUE energy is far below the gate must not count:
+        a prediction that is perfect on the loud frames and garbage on
+        near-silent ones scores ~0 gated (the 1.3 s-window comparability
+        rationale, RESULTS.md)."""
+        F, T = 65, 40
+        amp_t = np.full((1, F, T), 1e-6, np.float32)
+        amp_t[:, :, :8] = 1.0  # 8 loud frames, rest ~-120 dB
+        amp_p = amp_t.copy()
+        amp_p[:, :, 8:] = 0.5  # wildly wrong only where it's silent
+        gated = float(eval_mod.log_spectral_distance_gated(
+            jnp.asarray(amp_t), jnp.asarray(amp_p), gate_db=60.0)[0])
+        plain = float(eval_mod.log_spectral_distance(
+            jnp.asarray(amp_t), jnp.asarray(amp_p))[0])
+        assert gated < 1e-4, gated
+        assert plain > 10.0, plain  # un-gated is dominated by the silent tail
+
     def test_t60_noise_compensation(self):
         """Chu noise-floor compensation (ISO 3382, opt-in): a -40 dB floor
         under a short decay inside a wide window must not inflate the
