@@ -1,0 +1,86 @@
+"""Tests for the repo-root measurement/orchestration tools (tools/).
+
+These scripts are the reproducibility surface for RESULTS.md's tables;
+the aggregation logic must parse the exact report schemas eval.report
+writes (tools themselves run on hardware and are exercised there)."""
+
+import csv
+import importlib.util
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO, "tools", f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestRunZooQuality:
+    def _write_reports(self, out, name, t60_median):
+        gen = os.path.join(out, name, "generated", f"{name}_ph")
+        os.makedirs(gen, exist_ok=True)
+        with open(os.path.join(gen, f"{name}_parity.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["room", "n samples", "LSD median (dB)",
+                        "LSD gated median (dB)", "T60 rel err median",
+                        "T60 rel err mean", "T60 true median (s)",
+                        "T60 pred median (s)"])
+            w.writerow(["Global", 32, "9.9", "9.5", str(t60_median),
+                        str(t60_median * 2), "0.6", "0.55"])
+        with open(os.path.join(gen, f"{name}_losses.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["room", "n samples", "MSE spectrogram", "MSE magnitude",
+                        "1-cos(y-y_) phase", "MSE waveform", "MSE waveform 50ms",
+                        "Misalignment magnitude", "Misalignment waveform"])
+            w.writerow(["Global", 32, "0.002", "0.001", "0.7",
+                        "1.e-09", "5.e-09", "-1.e+00", "-0.6"])
+
+    def test_collect_ranks_by_t60(self, tmp_path):
+        zoo = _load("run_zoo_quality")
+        out = str(tmp_path)
+        self._write_reports(out, "unet", 0.05)
+        self._write_reports(out, "ae", 0.40)
+
+        class A:
+            pass
+
+        args = A()
+        args.out, args.models = out, ["ae", "unet"]
+        rows = zoo.collect(args)
+        assert [r["model"] for r in rows] == ["unet", "ae"]
+        assert rows[0]["lsd_gated_median_db"] == "9.5"
+        assert rows[0]["mse_spectrogram"] == "0.002"
+        assert rows[0]["misalignment_waveform_db"] == "-0.6"
+
+    def test_collect_tolerates_missing_model(self, tmp_path):
+        """A failed zoo member (no reports) must not sink the aggregation —
+        the runner explicitly continues past per-model failures."""
+        zoo = _load("run_zoo_quality")
+        self._write_reports(str(tmp_path), "unet", 0.1)
+
+        class A:
+            pass
+
+        args = A()
+        args.out, args.models = str(tmp_path), ["unet", "vae"]
+        rows = zoo.collect(args)
+        assert [r["model"] for r in rows] == ["unet", "vae"]  # inf sorts last
+        assert "lsd_median_db" not in rows[1]
+
+    def test_dry_run_emits_reference_loss_pairings(self, capsys):
+        """diff-family models must train with --diff-loss and evaluate with
+        --diff-gen (rir_generation.py:76-123 pairing)."""
+        zoo = _load("run_zoo_quality")
+        assert zoo.main(["--dry-run", "--models", "diffunet", "ae",
+                         "--out", "/tmp/zoo_dry"]) == 0
+        out = capsys.readouterr().out
+        lines = out.strip().splitlines()
+        assert any("--diff-loss" in l for l in lines if l.startswith("[train:diffunet]"))
+        assert any("--diff-gen" in l for l in lines if l.startswith("[eval:diffunet]"))
+        assert not any("--diff-gen" in l for l in lines if l.startswith("[eval:ae]"))
+        assert all(sys.executable in l for l in lines)
