@@ -87,6 +87,30 @@ class TestMetrics:
         assert gated < 1e-4, gated
         assert plain > 10.0, plain  # un-gated is dominated by the silent tail
 
+    def test_lsd_default_gate_excludes_normalization_floor_residual(self):
+        """The reason the default gate is 40 dB, not 60: frames at the
+        amplitude-normalization floor denormalize to a small residual
+        (denormalize_amp is exactly 0 only at amp_norm==0) whose frame
+        energy sits ~55-58 dB below a realistic loudest frame — inside a
+        60 dB gate, outside 40. Measured failure: at a 1.3 s window a
+        60 dB gate left gated == plain LSD for every mid-T60 room
+        (RESULTS.md '1.3 s window')."""
+        from unet_rir_tpu.ops.normalize import denormalize_amp
+
+        F, T = 129, 60
+        spec = np.zeros((1, F, T), np.float32)
+        spec[:, :, :6] = 0.45   # realistic loudest frames (norm scale)
+        spec[:, :, 6:] = 0.02   # near-floor saturated tail (~ -56 dB energy)
+        amp_t = denormalize_amp(jnp.asarray(spec))
+        amp_p = jnp.asarray(np.asarray(amp_t))
+        # corrupt the prediction ONLY on the tail frames
+        amp_p = amp_p.at[:, :, 6:].multiply(30.0)
+        g40 = float(eval_mod.log_spectral_distance_gated(amp_t, amp_p)[0])
+        g60 = float(eval_mod.log_spectral_distance_gated(amp_t, amp_p, gate_db=60.0)[0])
+        plain = float(eval_mod.log_spectral_distance(amp_t, amp_p)[0])
+        assert g40 < 1e-4, g40             # default gate drops the floor tail
+        assert abs(g60 - plain) / plain < 0.15, (g60, plain)  # 60 dB barely gates
+
     def test_t60_noise_compensation(self):
         """Chu noise-floor compensation (ISO 3382, opt-in): a -40 dB floor
         under a short decay inside a wide window must not inflate the

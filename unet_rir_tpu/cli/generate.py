@@ -72,9 +72,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Chu/ISO-3382 noise-floor compensation in the T60 "
                         "fit — use only when the window extends well past "
                         "the decay (see eval.metrics.t60_estimate)")
-    p.add_argument("--lsd-gate-db", type=float, default=60.0,
+    p.add_argument("--lsd-gate-db", type=float, default=40.0,
                    help="energy gate (dB below the loudest frame) for the "
-                        "gated LSD column")
+                        "gated LSD column; 40 excludes the amplitude-"
+                        "normalization floor residual (~-56 dB energy) and "
+                        "matches the 0.2 s window's energy content — see "
+                        "eval.metrics.log_spectral_distance_gated")
     p.add_argument("--plot-every", type=int, default=640,
                    help="save 4 diagnostic PNGs every N samples (reference "
                         "default, rir_generation.py:295-308); 0 disables")

@@ -69,7 +69,7 @@ class EvalConfig:
     fused_window: int = 2048  # max samples materialized on device at once
     parity_metrics: bool = False  # add LSD (+gated) and T60 per-sample columns
     t60_noise_comp: bool = False  # Chu noise-floor compensation (wide windows)
-    lsd_gate_db: float = 60.0  # energy gate for lsd_gated_db
+    lsd_gate_db: float = 40.0  # energy gate for lsd_gated_db (see metrics)
 
 
 def assemble_prediction(spec_in, spec_pred, diff_gen: bool):

@@ -78,7 +78,7 @@ def log_spectral_distance(amp_true: jnp.ndarray, amp_pred: jnp.ndarray, eps: flo
 def log_spectral_distance_gated(
     amp_true: jnp.ndarray,
     amp_pred: jnp.ndarray,
-    gate_db: float = 60.0,
+    gate_db: float = 40.0,
     eps: float = 1e-8,
 ) -> jnp.ndarray:
     """Energy-gated LSD: average per-frame LSD only over time frames whose
@@ -91,6 +91,19 @@ def log_spectral_distance_gated(
     standard practice from speech coding (frames below the gate carry no
     perceptual information), making LSD comparable across window lengths.
     gate_db=inf (or very large) recovers the plain metric.
+
+    Default 40 dB (energy), measured not guessed: the reference
+    amplitude normalization floor (normalize.py: amp/128 + 1e-5 clipped
+    at -100 dB) denormalizes near-floor frames to small RESIDUAL
+    amplitudes whose frame energy sits ~55-58 dB below the loudest frame
+    — a 60 dB gate admits that entire saturated tail, so at a 1.3 s
+    window gated == plain LSD for every mid-T60 room (measured,
+    RESULTS.md "1.3 s window"). 40 dB excludes the floor residual and
+    matches the energy content of the reference's 0.2 s contract window
+    (a 0.5-0.67 s-T60 room decays ~36-48 dB in energy by 0.2 s), making
+    per-room gated LSD consistent across window lengths (measured:
+    6.0-6.1 dB for every reverberant room at 1.3 s, same scale as the
+    0.2 s plain metric).
     """
     lt = 20.0 * jnp.log10(jnp.maximum(amp_true, eps))
     lp = 20.0 * jnp.log10(jnp.maximum(amp_pred, eps))
@@ -157,7 +170,7 @@ def parity_metrics(
     stft_shape: tuple[int, int],
     fs: int = 48000,
     noise_comp: bool = False,
-    gate_db: float = 60.0,
+    gate_db: float = 40.0,
 ) -> dict:
     """Per-sample north-star parity metrics (BASELINE.json: LSD + T60).
 
