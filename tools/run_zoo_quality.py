@@ -127,9 +127,13 @@ def main(argv=None) -> int:
             print(f"[{kind}:{name}] {' '.join(argv_)}", flush=True)
             if args.dry_run:
                 continue
-            r = subprocess.run(argv_, timeout=args.timeout)
-            if r.returncode != 0:
-                print(f"[{kind}:{name}] FAILED (exit {r.returncode}) — "
+            try:
+                r = subprocess.run(argv_, timeout=args.timeout)
+                code = r.returncode
+            except subprocess.TimeoutExpired:
+                code = "timeout"  # training resumes from ckpt on a rerun
+            if code != 0:
+                print(f"[{kind}:{name}] FAILED ({code}) — "
                       f"continuing with the rest of the zoo", flush=True)
     if args.dry_run:
         return 0
