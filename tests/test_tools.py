@@ -84,3 +84,18 @@ class TestRunZooQuality:
         assert any("--diff-gen" in l for l in lines if l.startswith("[eval:diffunet]"))
         assert not any("--diff-gen" in l for l in lines if l.startswith("[eval:ae]"))
         assert all(sys.executable in l for l in lines)
+
+    def test_zoo_covers_every_generative_family(self):
+        """The sweep must include every generative zoo model the CLIs
+        support (main_training.py:119-161 trains each of these by hand);
+        cnn_clas is a classifier, not a generative family, and is out."""
+        zoo = _load("run_zoo_quality")
+        assert set(zoo.ZOO) == {
+            "unet", "diffunet", "ae", "resae", "vae", "vqvae", "diffvae",
+            "aenet"}
+        # diff-family pairing: diff targets in training, diff reassembly
+        # in generation (rir_generation.py:173-178).
+        for name in ("diffunet", "diffvae"):
+            train_extra, eval_extra = zoo.ZOO[name]
+            assert "--diff-loss" in train_extra
+            assert "--diff-gen" in eval_extra

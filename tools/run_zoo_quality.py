@@ -41,6 +41,8 @@ ZOO = {
     "ae": ([], []),
     "resae": ([], []),
     "vae": ([], []),
+    "vqvae": ([], []),
+    "diffvae": (["--diff-loss"], ["--diff-gen"]),
     "aenet": ([], []),
 }
 
