@@ -21,7 +21,7 @@ def _load(name):
 
 
 class TestRunZooQuality:
-    def _write_reports(self, out, name, t60_median):
+    def _write_reports(self, out, name, t60_median, gated_lsd=9.5):
         gen = os.path.join(out, name, "generated", f"{name}_ph")
         os.makedirs(gen, exist_ok=True)
         with open(os.path.join(gen, f"{name}_parity.csv"), "w", newline="") as f:
@@ -30,7 +30,7 @@ class TestRunZooQuality:
                         "LSD gated median (dB)", "T60 rel err median",
                         "T60 rel err mean", "T60 true median (s)",
                         "T60 pred median (s)"])
-            w.writerow(["Global", 32, "9.9", "9.5", str(t60_median),
+            w.writerow(["Global", 32, "9.9", str(gated_lsd), str(t60_median),
                         str(t60_median * 2), "0.6", "0.55"])
         with open(os.path.join(gen, f"{name}_losses.csv"), "w", newline="") as f:
             w = csv.writer(f)
@@ -40,19 +40,23 @@ class TestRunZooQuality:
             w.writerow(["Global", 32, "0.002", "0.001", "0.7",
                         "1.e-09", "5.e-09", "-1.e+00", "-0.6"])
 
-    def test_collect_ranks_by_t60(self, tmp_path):
+    def test_collect_ranks_by_gated_lsd(self, tmp_path):
+        """Ranking is by spectral fidelity (gated LSD), NOT T60 — a model
+        emitting average-decay constants can top the T60 column while its
+        spectra are garbage (measured: diffvae, RESULTS.md zoo table)."""
         zoo = _load("run_zoo_quality")
         out = str(tmp_path)
-        self._write_reports(out, "unet", 0.05)
-        self._write_reports(out, "ae", 0.40)
+        # ae has the better (lower) gated LSD despite the worse T60.
+        self._write_reports(out, "unet", 0.05, gated_lsd=12.0)
+        self._write_reports(out, "ae", 0.40, gated_lsd=9.5)
 
         class A:
             pass
 
         args = A()
-        args.out, args.models = out, ["ae", "unet"]
+        args.out, args.models = out, ["unet", "ae"]
         rows = zoo.collect(args)
-        assert [r["model"] for r in rows] == ["unet", "ae"]
+        assert [r["model"] for r in rows] == ["ae", "unet"]
         assert rows[0]["lsd_gated_median_db"] == "9.5"
         assert rows[0]["mse_spectrogram"] == "0.002"
         assert rows[0]["misalignment_waveform_db"] == "-0.6"

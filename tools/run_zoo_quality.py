@@ -12,7 +12,13 @@ sees identical data and splits:
   for each model: cli.train (60 epochs, reference loss knobs per family)
                   cli.generate (--parity-metrics; --diff-gen for diff_*)
   then: collect each run's <name>_parity.csv + <name>_losses.csv medians
-        into zoo_quality.csv, ranked by T60 relative error.
+        into zoo_quality.csv, ranked by gated log-spectral distance.
+
+Ranking is by gated LSD, not T60: T60 alone is gameable — a model that
+emits near-constant average-decay spectra scores a deceptively good T60
+median while its spectra are garbage (measured: diffvae hit 7.5% T60
+median at 54 dB gated LSD on this sweep). Spectral fidelity is the
+robust fidelity axis; the T60 columns are still reported.
 
 Diff-family models train with --diff-loss and evaluate with --diff-gen
 (the reference pairs diff models with diff generation,
@@ -104,7 +110,7 @@ def collect(args) -> list[dict]:
                         row["mse_spectrogram"] = r["MSE spectrogram"]
                         row["misalignment_waveform_db"] = r["Misalignment waveform"]
         rows.append(row)
-    rows.sort(key=lambda r: float(r.get("t60_rel_err_median", "inf") or "inf"))
+    rows.sort(key=lambda r: float(r.get("lsd_gated_median_db", "inf") or "inf"))
     return rows
 
 
