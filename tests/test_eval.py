@@ -212,6 +212,26 @@ class TestPostProcess:
         wav = pp.post_process(np.asarray(corpus.features[0]), [1, 2, 3])
         assert wav.shape == (9600,) and np.all(np.isfinite(wav))
 
+    def test_gl_iters_knob(self, corpus):
+        """gl_iters threads through EvalConfig -> defeaturize: more
+        projections change (and, from a magnitude-only start, refine) the
+        reconstruction; both settings stay finite."""
+        from unet_rir_tpu.ops.features import defeaturize
+
+        feat = corpus.features[:2]
+        w4 = np.asarray(defeaturize(feat, algorithm="gl", gl_iters=4))
+        w64 = np.asarray(defeaturize(feat, algorithm="gl", gl_iters=64))
+        assert np.all(np.isfinite(w4)) and np.all(np.isfinite(w64))
+        assert not np.allclose(w4, w64)
+        model = models.UNet(number_filters_0=4)
+        sample = (corpus.features[:2],
+                  jnp.stack([corpus.embeddings[:2]] * 2, axis=1))
+        variables = train.init_model(model, sample)
+        r = eval_mod.evaluate(
+            model, variables, corpus,
+            eval_mod.EvalConfig(batch_size=2, algorithm="gl", gl_iters=4))
+        assert np.all(np.isfinite(r.per_sample["mse_waveform"]))
+
 
 def test_evaluate_empty_partition_raises(corpus):
     """Partitions smaller than batch_size fail loudly, not with NaN reports."""
@@ -341,6 +361,69 @@ def test_loop_and_fused_timing_columns_comparable(corpus):
         assert lo <= fu * 5.0 + 0.05, (k, lo, fu)
     assert "transport constant subtracted" in r_loop.timing_method
     assert "transport constant subtracted" in r_fused.timing_method
+    # Both paths surface the probed-constant audit trail (VERDICT r3 #7).
+    for r in (r_loop, r_fused):
+        for k in ("readback_probe_last_s", "readback_probe_min_s",
+                  "readback_probe_max_s", "readback_n_probes"):
+            assert k in r.timing and r.timing[k] >= 0.0, (k, r.timing)
+        assert r.timing["readback_n_probes"] >= 1
+
+
+def test_readback_correction_tracks_transport_drift(corpus, monkeypatch):
+    """VERDICT r3 #7 done-criterion: the timing columns stay stable when the
+    per-readback transport cost DRIFTS mid-eval (the tunnel's 30-60 min
+    oscillation, CLAUDE.md). The tracker re-probes every
+    `readback_probe_every` batches, so the subtracted constant follows the
+    drift; with a single stale early probe the post-drift spans would carry
+    the full transport jump."""
+    import time as time_mod
+
+    from unet_rir_tpu.eval import generation as gen_mod
+
+    model = models.UNet(number_filters_0=2)
+    sample = (corpus.features[:2],
+              jnp.stack([corpus.embeddings[:2]] * 2, axis=1))
+    variables = train.init_model(model, sample)
+
+    real_sync = gen_mod.sync
+    jump_s = 0.15
+
+    def run(probe_every):
+        # Synthetic transport: ~0 for the first few sync calls (covering
+        # the warm-up batch and the FIRST probe), then a step-function
+        # degradation of `jump_s` per readback — so a stale early probe
+        # under-corrects every measured batch while re-probing recovers.
+        state = {"n": 0}
+
+        def drifting_sync(x):
+            state["n"] += 1
+            if state["n"] > 5:
+                time_mod.sleep(jump_s)
+            return real_sync(x)
+
+        monkeypatch.setattr(gen_mod, "sync", drifting_sync)
+        try:
+            cfg = eval_mod.EvalConfig(batch_size=4, name="drift",
+                                      readback_probe_every=probe_every)
+            # 'train' partition: 28 samples -> 7 batches, enough to drift.
+            return eval_mod.evaluate(model, variables, corpus, cfg,
+                                     partition="train")
+        finally:
+            monkeypatch.setattr(gen_mod, "sync", real_sync)
+
+    tracked = run(probe_every=1)
+    stale = run(probe_every=10**9)  # effectively the old single early probe
+
+    # The tracker saw the jump (audit trail), the stale run could not.
+    assert tracked.timing["readback_n_probes"] >= 4
+    assert tracked.timing["readback_probe_max_s"] >= jump_s * 0.8
+    assert stale.timing["readback_n_probes"] == 1
+    assert stale.timing["readback_probe_last_s"] < jump_s * 0.5
+    # Drift-proof columns: the stale-probe run's inference column absorbs
+    # the transport jump that re-probing subtracts out.
+    diff = (stale.timing["t_model_inference_avg"]
+            - tracked.timing["t_model_inference_avg"])
+    assert diff > jump_s * 0.3, (stale.timing, tracked.timing)
 
 
 class TestParityMetrics:
@@ -411,6 +494,52 @@ class TestParityMetrics:
         df = pd.read_csv(parity_csv)
         assert list(df["room"])[0] == "Global"
         assert "T60 rel err median" in df.columns
+
+    def test_parity_csv_reverberant_aggregate_row(self, tmp_path):
+        """VERDICT r3 #8 done-criterion: the honest T60 aggregate (excluding
+        the estimator-floor HemiAnechoic room) is a machine-readable CSV row,
+        not prose. Construct a result where HemiAnechoic carries a huge
+        estimator-floor error and check the Reverberant row excludes it."""
+        import pandas as pd
+
+        rooms = (["HemiAnechoicRoom"] * 2 + ["LargeMeetingRoom"] * 2
+                 + ["MediumMeetingRoom"] * 2 + ["ShoeBoxRoom"] * 2
+                 + ["SmallMeetingRoom"] * 2)
+        n = len(rooms)
+        t60_err = np.full(n, 0.04, np.float32)
+        t60_err[:2] = 0.9  # the estimator floor (68-91% on TRUE wavs)
+        per_sample = {
+            "lsd_db": np.full(n, 10.0, np.float32),
+            "lsd_gated_db": np.full(n, 7.0, np.float32),
+            "t60_rel_err": t60_err,
+            "t60_true_s": np.full(n, 0.5, np.float32),
+            "t60_pred_s": np.full(n, 0.5, np.float32),
+        }
+        result = eval_mod.EvalResult(
+            per_sample=per_sample, rooms=rooms,
+            timing={"t_model_inference_avg": 0.0, "t_postprocess": 0.0,
+                    "t_loss_calc": 0.0, "t_global": 0.0},
+            n_samples=n, batch_size=2)
+        # room_means needs the reference metric keys too
+        for k in ("mse_spectrogram", "mse_magnitude", "phase_1mcos",
+                  "mse_waveform", "mse_waveform_50ms",
+                  "misalignment_magnitude_db", "misalignment_waveform_db"):
+            per_sample[k] = np.zeros(n, np.float32)
+
+        folder = eval_mod.write_reports(result, str(tmp_path), "agg", "ph")
+        df = pd.read_csv(os.path.join(folder, "agg_parity.csv"))
+        assert list(df["room"])[:2] == ["Global", "Reverberant"]
+        assert "T60 estimator floor" in df.columns
+        by_room = df.set_index("room")
+        assert by_room.loc["HemiAnechoic", "T60 estimator floor"] == "yes"
+        assert by_room.loc["Reverberant", "T60 estimator floor"] == "no"
+        assert by_room.loc["Global", "T60 estimator floor"] == "mixed"
+        assert int(by_room.loc["Reverberant", "n samples"]) == 8
+        # The honest aggregate excludes the floor samples entirely.
+        assert float(by_room.loc["Reverberant", "T60 rel err mean"]) == (
+            pytest.approx(0.04, rel=1e-3))
+        assert float(by_room.loc["Global", "T60 rel err mean"]) == (
+            pytest.approx((0.9 * 2 + 0.04 * 8) / 10, rel=1e-3))
 
     def test_default_eval_has_no_parity_columns(self, corpus):
         """Off by default: the reference metric schema stays untouched."""

@@ -89,6 +89,73 @@ class TestRunZooQuality:
         assert not any("--diff-gen" in l for l in lines if l.startswith("[eval:ae]"))
         assert all(sys.executable in l for l in lines)
 
+    def test_zoo_runner_end_to_end_with_timeout_resume(self, tmp_path, capfd,
+                                                       monkeypatch):
+        """VERDICT r3 #2: the runner's REAL subprocess + timeout-resume +
+        CSV-collect path, executed. Phase A force-kills training via the
+        per-command timeout (after cadence checkpoints exist); phase B reruns
+        the same command and training RESUMES from the checkpoint; a second
+        model then runs to completion and the collected zoo_quality.csv
+        carries both ranked rows (the orchestration surface of
+        rir_generation.py:72-123)."""
+        zoo = _load("run_zoo_quality")
+        out = str(tmp_path / "zoo")
+        ckpt = os.path.join(out, "unet", "unet", "ckpt")
+        # Children force CPU themselves (--local-device-count=1); the
+        # suite's 8-device flags must not leak into them.
+        monkeypatch.delenv("XLA_FLAGS", raising=False)
+        monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+        cc = str(tmp_path / "xla_cache")
+        common = [
+            "--out", out, "--n-per-room", "4", "--batch-size", "2",
+            "--lr", "1e-3",
+            "--extra-train-arg=--local-device-count=1",
+            "--extra-train-arg=--filters=2",
+            f"--extra-train-arg=--compile-cache-dir={cc}",
+            "--extra-eval-arg=--local-device-count=1",
+            "--extra-eval-arg=--filters=2",
+            f"--extra-eval-arg=--compile-cache-dir={cc}",
+        ]
+
+        # Phase A: epochs far beyond what the timeout allows -> the train
+        # child is KILLED mid-run, after the every-2-epoch checkpoint
+        # cadence has saved at least once. Retry with the (now warm)
+        # compile cache if the kill landed before the first save.
+        for _ in range(3):
+            assert zoo.main(common + ["--models", "unet",
+                                      "--epochs", "4000",
+                                      "--timeout", "75"]) == 0
+            if os.path.isdir(ckpt) and any(
+                    d.isdigit() for d in os.listdir(ckpt)):
+                break
+        saved = max(int(d) for d in os.listdir(ckpt) if d.isdigit())
+        out_a = capfd.readouterr().out
+        assert "[train:unet] FAILED (timeout)" in out_a
+
+        # Phase B: rerun to a target a few epochs past the kill point —
+        # training must RESUME from the checkpoint, not start over.
+        assert zoo.main(common + ["--models", "unet",
+                                  "--epochs", str(saved + 4),
+                                  "--timeout", "600"]) == 0
+        out_b = capfd.readouterr().out
+        assert "Restored checkpoint at epoch" in out_b
+        assert "FAILED" not in out_b
+
+        # Second model (diffunet exercises the --diff-loss/--diff-gen
+        # pairing through the real CLIs), then aggregate both rows.
+        assert zoo.main(common + ["--models", "diffunet",
+                                  "--epochs", "4", "--timeout", "600"]) == 0
+        assert zoo.main(common + ["--models", "unet", "diffunet",
+                                  "--collect-only"]) == 0
+        csv_path = os.path.join(out, "zoo_quality.csv")
+        assert os.path.exists(csv_path)
+        with open(csv_path) as f:
+            rows = list(csv.DictReader(f))
+        assert {r["model"] for r in rows} == {"unet", "diffunet"}
+        gated = [float(r["lsd_gated_median_db"]) for r in rows]
+        assert all(g > 0 for g in gated)
+        assert gated == sorted(gated)  # ranked by gated LSD
+
     def test_zoo_covers_every_generative_family(self):
         """The sweep must include every generative zoo model the CLIs
         support (main_training.py:119-161 trains each of these by hand);

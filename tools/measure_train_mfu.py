@@ -35,13 +35,20 @@ V5E_BF16_PEAK = 197e12
 K_SMALL, K_LARGE = 2, 8
 
 
-def step_flops(model, optimizer, loss_cfg, batch, variables) -> float | None:
-    """FLOPs of one compiled train step (fwd+bwd+opt) via XLA cost analysis."""
+def step_flops(model, optimizer, loss_cfg, batch, variables,
+               accum_steps: int = 1) -> float | None:
+    """FLOPs of one compiled train step (fwd+bwd+opt) via XLA cost analysis.
+
+    Always compiled WITHOUT remat: rematerialization recomputes the forward
+    in the backward pass, and counting those replayed FLOPs as useful work
+    would inflate MFU — the honest numerator is the math the model needs,
+    the honest denominator is however long the (possibly remat) run took."""
     import jax
 
     from unet_rir_tpu import train
 
-    step = train.make_train_step(model, optimizer, loss_cfg)
+    step = train.make_train_step(model, optimizer, loss_cfg,
+                                 accum_steps=accum_steps)
     state = train.TrainState.create(variables, optimizer)
     try:
         compiled = step.lower(state, batch, jax.random.key(0), 1e-4).compile()
@@ -55,7 +62,8 @@ def step_flops(model, optimizer, loss_cfg, batch, variables) -> float | None:
 
 
 def measure(batch_size: int, bf16: bool, filters: int, peak_tflops: float,
-            loss_family: str = "blend") -> dict:
+            loss_family: str = "blend", remat: bool = False,
+            accum_steps: int = 1) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -75,9 +83,10 @@ def measure(batch_size: int, bf16: bool, filters: int, peak_tflops: float,
     loss_cfg = LossConfig(family=loss_family)
     opt = train.build_optimizer("adam", 1e-4)
     variables = train.init_model(model, batch)
-    flops = step_flops(model, opt, loss_cfg, batch, variables)
+    flops = step_flops(model, opt, loss_cfg, batch, variables, accum_steps)
 
-    epoch_fn = train.make_train_epoch(model, opt, loss_cfg)
+    epoch_fn = train.make_train_epoch(model, opt, loss_cfg, remat=remat,
+                                      accum_steps=accum_steps)
 
     def run(k: int) -> float:
         state = train.TrainState.create(
@@ -118,6 +127,8 @@ def measure(batch_size: int, bf16: bool, filters: int, peak_tflops: float,
         "batch_size": batch_size,
         "dtype": "bfloat16" if bf16 else "float32",
         "filters": filters,
+        "remat": remat,
+        "accum_steps": accum_steps,
         "step_time_s": round(per_step, 6),
         "train_samples_per_sec": round(samples_per_sec, 1),
         "train_spread_pct": spread_pct,
@@ -140,9 +151,14 @@ def main() -> None:
     p.add_argument("--filters", type=int, default=32)
     p.add_argument("--peak-tflops", type=float, default=V5E_BF16_PEAK / 1e12)
     p.add_argument("--loss-family", default="blend")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize forward in backward (MFU numerator "
+                        "stays the no-remat FLOPs — see step_flops)")
+    p.add_argument("--accum-steps", type=int, default=1)
     args = p.parse_args()
     result = measure(args.batch, args.bf16, args.filters,
-                     args.peak_tflops * 1e12, args.loss_family)
+                     args.peak_tflops * 1e12, args.loss_family,
+                     remat=args.remat, accum_steps=args.accum_steps)
     print(json.dumps(result))
 
 

@@ -70,6 +70,7 @@ def build_commands(args):
             "--results-dir", results,
             "--cache-dir", cache,
             *train_extra,
+            *(args.extra_train_arg or []),
         ]
         yield "eval", name, [
             sys.executable, "-m", "unet_rir_tpu.cli.generate",
@@ -82,6 +83,7 @@ def build_commands(args):
             "--parity-metrics",
             "--plot-every", "0",
             *eval_extra,
+            *(args.extra_eval_arg or []),
         ]
 
 
@@ -125,6 +127,14 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--timeout", type=int, default=1800,
                    help="per-command timeout (s)")
+    p.add_argument("--extra-train-arg", action="append", default=None,
+                   help="extra argv token appended to every train command "
+                        "(repeatable; use --extra-train-arg=--flag=value). "
+                        "E.g. --diffuse-tail, or --local-device-count=1 for "
+                        "a CPU rehearsal of the sweep")
+    p.add_argument("--extra-eval-arg", action="append", default=None,
+                   help="extra argv token appended to every eval command "
+                        "(repeatable)")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--collect-only", action="store_true",
                    help="skip running; just aggregate existing CSVs")

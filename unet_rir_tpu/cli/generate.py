@@ -31,6 +31,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--models-folder", default="results")
     p.add_argument("--saving-path", default="generated_rir")
     p.add_argument("--algorithm", choices=["ph", "gl"], default="ph")
+    p.add_argument("--gl-iters", type=int, default=32,
+                   help="Griffin-Lim iterations for --algorithm gl "
+                        "(reference librosa n_iter default: 32)")
     p.add_argument("--diff-gen", action="store_true")
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--rooms", nargs="*", default=["All"])
@@ -86,12 +89,24 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="optimizer the checkpoint was trained with (restore template)")
     p.add_argument("--filters", type=int, default=None,
                    help="override number_filters_0 for UNet-family models")
+    p.add_argument("--local-device-count", type=int, default=None,
+                   help="force the CPU platform with N virtual devices "
+                        "(same semantics as cli.train; CPU rehearsal/tests "
+                        "only — real TPUs are auto-detected)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
 
+    if args.local_device_count:
+        # Must run before any computation initializes the backend (the
+        # session sitecustomize pins JAX_PLATFORMS, so env vars don't stick
+        # — CLAUDE.md gotcha; config wins).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.local_device_count)
     if args.compile_cache_dir:
         from unet_rir_tpu.utils import enable_compilation_cache
 
@@ -150,6 +165,7 @@ def main(argv=None) -> int:
 
         cfg = EvalConfig(
             algorithm=args.algorithm,
+            gl_iters=args.gl_iters,
             diff_gen=args.diff_gen,
             batch_size=args.batch_size,
             save_wavs=args.save_wavs,

@@ -76,7 +76,8 @@ def featurize(wav: jnp.ndarray, use_pallas: bool | None = None) -> jnp.ndarray:
     return _featurize_jnp(wav)
 
 
-def _defeaturize_jnp(feature, algorithm, length, stft_shape=STFT_SHAPE):
+def _defeaturize_jnp(feature, algorithm, length, stft_shape=STFT_SHAPE,
+                     gl_iters=32):
     amp_p = feature[..., 0]
     phase_p = feature[..., 1]
     amp_n = crop_to(amp_p, stft_shape)
@@ -86,27 +87,32 @@ def _defeaturize_jnp(feature, algorithm, length, stft_shape=STFT_SHAPE):
         spec = amp * jnp.exp(1j * phase)
         return istft(spec, length=length)
     elif algorithm == "gl":
-        return griffin_lim(amp)[..., :length]
+        return griffin_lim(amp, n_iter=gl_iters)[..., :length]
     raise ValueError(f"unknown algorithm: {algorithm!r}")
 
 
-@functools.partial(jax.jit, static_argnames=("algorithm", "length", "stft_shape"))
+@functools.partial(jax.jit,
+                   static_argnames=("algorithm", "length", "stft_shape",
+                                    "gl_iters"))
 def defeaturize(
     feature: jnp.ndarray,
     algorithm: str = "ph",
     length: int | None = None,
     stft_shape: tuple[int, int] = STFT_SHAPE,
+    gl_iters: int = 32,
 ) -> jnp.ndarray:
     """feature (..., H, W, 2) -> wav (..., length).
 
     algorithm='ph' recombines predicted amplitude+phase; 'gl' discards the
-    phase channel and runs Griffin-Lim (reference postprocess.py:127-131).
+    phase channel and runs Griffin-Lim (reference postprocess.py:127-131;
+    `gl_iters` == its librosa n_iter=32 default, exposed so the
+    reconstruction-quality/cost trade can be measured).
     For non-default durations pass the unpadded `stft_shape`
     (n_bins, n_frames); `length` defaults to hop*(n_frames-1).
     """
     if length is None:
         length = HOP_LENGTH * (stft_shape[1] - 1)
-    return _defeaturize_jnp(feature, algorithm, length, stft_shape)
+    return _defeaturize_jnp(feature, algorithm, length, stft_shape, gl_iters)
 
 
 __all__ = ["featurize", "defeaturize"]

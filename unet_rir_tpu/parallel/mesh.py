@@ -28,8 +28,17 @@ def make_mesh(
     n_data: int | None = None,
     n_spatial: int = 1,
     devices=None,
+    spatial_across_processes: bool = False,
 ) -> Mesh:
-    """Build a ('data', 'spatial') mesh over the available devices."""
+    """Build a ('data', 'spatial') mesh over the available devices.
+
+    spatial_across_processes: order the device grid so each 'spatial'
+    group spans process boundaries (device j*n_data+i at grid[i, j]).
+    With the default C-order reshape a multi-process mesh puts every
+    spatial pair inside one process, so conv halo exchange never touches
+    the inter-process (DCN) seam; this ordering forces it to — the hard
+    leg of the multi-host spatial proof (VERDICT r3 #6). On a real pod
+    the analogous choice is which physical axis 'spatial' rides."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_spatial
@@ -41,7 +50,10 @@ def make_mesh(
             f"for a virtual CPU mesh)"
         )
     devices = devices[: n_data * n_spatial]
-    grid = np.array(devices).reshape(n_data, n_spatial)
+    if spatial_across_processes and n_spatial > 1:
+        grid = np.array(devices).reshape(n_spatial, n_data).T
+    else:
+        grid = np.array(devices).reshape(n_data, n_spatial)
     return Mesh(grid, ("data", "spatial"))
 
 
