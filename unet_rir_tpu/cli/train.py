@@ -124,6 +124,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="gradient-accumulation microbatches per step: the "
                         "optimizer sees the mean gradient of the full batch "
                         "at one microbatch's activation footprint")
+    p.add_argument("--recon-weight", type=float, default=None,
+                   help="reconstruction-loss weight vs the KL term; default "
+                        "is the model's declared RECON_WEIGHT (1.0 for most "
+                        "families, 100000 for diffvae per diff_vae.py:68)")
     p.add_argument("--early-stop", type=int, default=None)
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler XLA trace of one extra warm-up "
@@ -226,6 +230,8 @@ def main(argv=None) -> int:
         diff_loss=args.diff_loss,
         beta=args.beta,
         use_kl="vae" in args.name,
+        recon_weight=(args.recon_weight if args.recon_weight is not None
+                      else getattr(type(model), "RECON_WEIGHT", 1.0)),
     )
     results_dir = os.path.join(args.results_dir, args.name)
     cfg = TrainerConfig(

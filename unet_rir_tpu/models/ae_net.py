@@ -6,6 +6,22 @@ but the bottleneck is Flatten(enc5) ⊕ [Embedding(2500,256) -> Flatten ->
 Dense(64*32) -> Dropout(0.5)] -> recover_shape (Dense(prod(H,W,2)) ->
 Dropout(0.5) -> reshape -> 1x1 conv to f0*16), and the output head is a
 6x6 conv with a relu capped at 1 (ae_net.py:249).
+
+Deliberate divergence — head initialization. The reference's default
+init (glorot kernel, zero bias) puts ~half of the capped-ReLU head's
+pre-activations below zero at step 0, and the early MSE descent kills
+the rest: measured on the round-4 zoo sweep, 98.6% of amplitude bins
+were EXACTLY 0 after 60 epochs (amplitude loss flatlined at the
+predict-silence plateau E[t^2]=0.011 from epoch 3; gated LSD 106 dB).
+A capped ReLU has zero gradient on both rails, so mass death is a
+stable trap. The head here starts alive instead: small-variance kernel
+(sigma=0.01) + positive bias (0.25, between the amp-channel mean ~0.08
+and the phase-channel mean ~0.5) so initial outputs sit near the data's
+operating point with every bin receiving gradient. The reference never
+validated its init — AENet is not wired into main_training.py (imported
+only by rir_generation.py:6) — so this diverges from dead code, not
+from measured behavior. Forward semantics and parameter names are
+unchanged; only fresh-init values differ.
 """
 
 from __future__ import annotations
@@ -72,7 +88,9 @@ class AENet(nn.Module):
             x = mode_block(self.mode, f0 * factor, self.batch_norm, self.dtype)(
                 x, training=training)
 
-        out = nn.Conv(2, (6, 6), padding="SAME", dtype=self.dtype, name="head")(x)
+        out = nn.Conv(2, (6, 6), padding="SAME", dtype=self.dtype, name="head",
+                      kernel_init=nn.initializers.normal(0.01),
+                      bias_init=nn.initializers.constant(0.25))(x)
         # relu capped at 1 (ae_net.py:249)
         return jnp.clip(nn.relu(out.astype(jnp.float32)), 0.0, 1.0)
 

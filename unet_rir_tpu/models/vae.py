@@ -51,6 +51,9 @@ class VAE(nn.Module):
     dtype: Any = jnp.float32
 
     L2_PATTERNS = ()  # reference VAE convs carry no regularizers
+    # Reference loss balance: the plain VAE trains on unweighted
+    # recon + KL (vae_trainer.py:84-87). DiffVAE overrides this.
+    RECON_WEIGHT = 1.0
 
     def setup(self):
         self._pre_latent = pre_latent_shape(
@@ -102,12 +105,23 @@ class VAE(nn.Module):
 
 class DiffVAE(VAE):
     """Phase-difference VAE: linear head, Embedding(1500,128) unflattened
-    vector branch, reconstruction_loss_weight applied via LossConfig."""
+    vector branch, reconstruction_loss_weight applied via LossConfig.
+
+    RECON_WEIGHT reproduces the reference's combined loss
+    `100000 * recon + kl` (diff_vae.py:68, :184-195). The weight is not
+    cosmetic: diff targets are small, so at weight 1 the KL term dominates
+    and the posterior collapses — measured on the round-4 zoo sweep as
+    gated LSD 63 dB with deceptively good T60 (the decoder output went
+    input-independent, so predictions degenerated to ~the paired input's
+    spectrum). The CLI injects this class attribute into
+    LossConfig.recon_weight unless --recon-weight overrides it.
+    """
 
     embed_vocab: int = 1500
     embed_features: int = 128
     flatten_vector: bool = False
     output_activation: str = "linear"
+    RECON_WEIGHT = 100000.0
 
 
 __all__ = ["VAE", "DiffVAE"]

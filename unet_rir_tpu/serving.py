@@ -113,11 +113,27 @@ class RIRSynthesizer:
 
     def _tail_plan(self, r: int) -> list[int]:
         """Cover a remainder 0 < r < max-bucket: exact-sum coin-change DP
-        over the buckets, minimizing (padded rows, then dispatch count)."""
+        over the buckets, minimizing (padded rows, then dispatch count).
+        The DP table depends only on the bucket set, so it is built once
+        per synthesizer and each request tail is an O(tail) lookup."""
+        coins, choice = self._coin_table()
         big = self.buckets[-1]
         inf = 1 << 30
-        # coins[s] = min #buckets summing exactly to s; choice[s] = a bucket
-        # in that optimum (for reconstruction).
+        s = next(s for s in range(r, big + 1) if coins[s] < inf)  # big always reachable
+        out: list[int] = []
+        while s:
+            out.append(choice[s])
+            s -= choice[s]
+        return sorted(out, reverse=True)
+
+    def _coin_table(self) -> tuple[list[int], list[int]]:
+        """coins[s] = min #buckets summing exactly to s (inf if unreachable);
+        choice[s] = a bucket in that optimum (for reconstruction)."""
+        cached = getattr(self, "_coin_table_cache", None)
+        if cached is not None:
+            return cached
+        big = self.buckets[-1]
+        inf = 1 << 30
         coins = [0] + [inf] * big
         choice = [0] * (big + 1)
         for s in range(1, big + 1):
@@ -125,12 +141,8 @@ class RIRSynthesizer:
                 if b <= s and coins[s - b] + 1 < coins[s]:
                     coins[s] = coins[s - b] + 1
                     choice[s] = b
-        s = next(s for s in range(r, big + 1) if coins[s] < inf)  # big always reachable
-        out: list[int] = []
-        while s:
-            out.append(choice[s])
-            s -= choice[s]
-        return sorted(out, reverse=True)
+        self._coin_table_cache = (coins, choice)
+        return coins, choice
 
     def synthesize(self, spec_in, emb) -> tuple[np.ndarray, np.ndarray]:
         """(N,H,W,2) float + (N,2,16) int -> (spectrograms, wavs).
