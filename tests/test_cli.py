@@ -94,6 +94,52 @@ class TestEndToEnd:
         assert rc == 0
         assert os.path.exists(str(tmp_path / "gen" / "unet_ph" / "unet_losses.csv"))
 
+    def test_generate_use_best(self, tmp_path, capsys):
+        """--use-best evaluates the BestCheckpoint export, not the latest
+        checkpoint (late-epoch val oscillation makes latest a lottery draw
+        at small corpus scale — RESULTS.md zoo section); a missing best/
+        export is a loud error, never a silent latest fallback.
+
+        Under the conftest 8-device mesh the global batch is
+        --batch-size x 8, so --synthetic 16 (80 RIRs, 16-sample val split)
+        gives exactly one val batch — the minimum for BestCheckpoint to
+        fire. The tiny-corpus leg below pins the opposite: zero val
+        batches must WARN and skip the best export, not NaN silently."""
+        rc = train_cli.main([
+            "--name", "unet", "--synthetic", "16", "--epochs", "1",
+            "--batch-size", "2", "--lr", "1e-4", "--filters", "2",
+            "--results-dir", str(tmp_path / "res"),
+        ])
+        assert rc == 0
+        assert os.path.isdir(str(tmp_path / "res" / "unet" / "best"))
+
+        rc = gen_cli.main([
+            "--models", "unet", "--models-folder", str(tmp_path / "res"),
+            "--saving-path", str(tmp_path / "gen_best"), "--synthetic", "16",
+            "--batch-size", "2", "--filters", "2", "--use-best",
+        ])
+        assert rc == 0
+        assert "Loaded best-val export" in capsys.readouterr().out
+        assert os.path.exists(str(tmp_path / "gen_best" / "unet_ph" / "unet_losses.csv"))
+
+        # Tiny corpus: val split (6) < global batch (16) -> loud warning,
+        # no best export, and --use-best refuses rather than silently
+        # falling back to the latest checkpoint.
+        rc = train_cli.main([
+            "--name", "unet", "--synthetic", "6", "--epochs", "1",
+            "--batch-size", "2", "--lr", "1e-4", "--filters", "2",
+            "--results-dir", str(tmp_path / "res_tiny"),
+        ])
+        assert rc == 0
+        assert "WARNING: validation disabled" in capsys.readouterr().out
+        assert not os.path.isdir(str(tmp_path / "res_tiny" / "unet" / "best"))
+        with pytest.raises(SystemExit, match="no best-val export"):
+            gen_cli.main([
+                "--models", "unet", "--models-folder", str(tmp_path / "res_tiny"),
+                "--saving-path", str(tmp_path / "gen_err"), "--synthetic", "6",
+                "--batch-size", "2", "--filters", "2", "--use-best",
+            ])
+
     def test_compile_cache_dir_persists_executables(self, tmp_path):
         """--compile-cache-dir fills a persistent XLA cache (warm restarts
         skip first-compile); the flag exists on all three CLIs."""
@@ -134,6 +180,17 @@ class TestEndToEnd:
         # Compare loss columns (drop epoch_time wall-clock column).
         pick = lambda line: line.split(",")[:-1]
         assert [pick(l) for l in a[1:]] == [pick(l) for l in b[1:]]
+
+
+def test_train_empty_train_split_errors(tmp_path):
+    """A train split smaller than the global batch is a loud SystemExit
+    before any compile — not a 0-step 'success' with NaN metrics."""
+    with pytest.raises(SystemExit, match="Nothing to train"):
+        train_cli.main([
+            "--name", "unet", "--synthetic", "2", "--epochs", "1",
+            "--batch-size", "8", "--lr", "1e-4", "--filters", "2",
+            "--results-dir", str(tmp_path / "res"),
+        ])
 
 
 class TestMeasuredLayoutDressRehearsal:

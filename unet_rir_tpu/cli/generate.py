@@ -87,6 +87,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--optimizer", default="adam",
                    help="optimizer the checkpoint was trained with (restore template)")
+    p.add_argument("--use-best", action="store_true",
+                   help="evaluate the best-val export (<models-folder>/<name>/best, "
+                        "written by BestCheckpoint during training) instead of the "
+                        "latest checkpoint. The reference always evaluates the "
+                        "end-of-training weights; latest-restore reproduces that and "
+                        "stays the default — but at small corpus scale the late-epoch "
+                        "val loss oscillates ~2x between checkpoint saves, so the "
+                        "restored quality is a draw (measured: RESULTS.md zoo "
+                        "section); rankings are stabler on the best-val weights")
     p.add_argument("--filters", type=int, default=None,
                    help="override number_filters_0 for UNet-family models")
     p.add_argument("--local-device-count", type=int, default=None,
@@ -139,7 +148,16 @@ def main(argv=None) -> int:
 
         ckpt_dir = os.path.join(args.models_folder, name, "ckpt")
         best_dir = os.path.join(args.models_folder, name, "best")
-        if os.path.isdir(ckpt_dir):
+        if args.use_best and os.path.isdir(best_dir):
+            model, variables = models.load_pretrained(best_dir)
+            print(f"Loaded best-val export from {best_dir}")
+        elif args.use_best:
+            raise SystemExit(
+                f"--use-best: no best-val export at {best_dir} (training "
+                f"writes it via BestCheckpoint when val improves); rerun "
+                f"without --use-best to evaluate the latest checkpoint."
+            )
+        elif os.path.isdir(ckpt_dir):
             opt = build_optimizer(args.optimizer)
             mgr = CheckpointManager(ckpt_dir)
             try:

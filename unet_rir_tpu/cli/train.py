@@ -213,6 +213,22 @@ def main(argv=None) -> int:
 
     train_gen = DataGenerator(corpus, batch_size=global_batch, partition="train")
     val_gen = DataGenerator(corpus, batch_size=global_batch, partition="val")
+    if len(train_gen) == 0:
+        raise SystemExit(
+            f"Nothing to train: the train split has {train_gen.n_samples} "
+            f"samples, fewer than the global batch ({global_batch} = "
+            f"--batch-size x mesh 'data' axis). Lower --batch-size or "
+            f"enlarge the corpus."
+        )
+    if len(val_gen) == 0:
+        # Remainder drop leaves zero val batches: validation silently
+        # becoming a no-op also disables the best-val export and early
+        # stopping, so say it loudly (val metrics will print as nan).
+        print(f"WARNING: validation disabled — the val split has "
+              f"{val_gen.n_samples} samples, fewer than the global batch "
+              f"({global_batch} = --batch-size x mesh 'data' axis); the "
+              f"best-val export and early stopping will not run. Lower "
+              f"--batch-size or enlarge the corpus.")
     use_mesh = mesh.devices.size > 1
     if use_mesh:
         train_gen = ShardedGenerator(train_gen, mesh, args.mesh_spatial > 1)
