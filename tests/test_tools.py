@@ -89,6 +89,18 @@ class TestRunZooQuality:
         assert not any("--diff-gen" in l for l in lines if l.startswith("[eval:ae]"))
         assert all(sys.executable in l for l in lines)
 
+    def test_dry_run_use_best_reaches_eval_commands(self, capsys):
+        """--use-best flows to every eval command (and only eval) so the
+        ranking scores best-val exports, not latest-checkpoint draws."""
+        zoo = _load("run_zoo_quality")
+        assert zoo.main(["--dry-run", "--use-best", "--models", "unet", "ae",
+                         "--out", "/tmp/zoo_dry"]) == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        evals = [l for l in lines if l.startswith("[eval:")]
+        trains = [l for l in lines if l.startswith("[train:")]
+        assert evals and all("--use-best" in l for l in evals)
+        assert trains and not any("--use-best" in l for l in trains)
+
     def test_zoo_runner_end_to_end_with_timeout_resume(self, tmp_path, capfd,
                                                        monkeypatch):
         """VERDICT r3 #2: the runner's REAL subprocess + timeout-resume +

@@ -82,6 +82,7 @@ def build_commands(args):
             "--batch-size", str(args.batch_size),
             "--parity-metrics",
             "--plot-every", "0",
+            *(["--use-best"] if args.use_best else []),
             *eval_extra,
             *(args.extra_eval_arg or []),
         ]
@@ -135,6 +136,12 @@ def main(argv=None) -> int:
     p.add_argument("--extra-eval-arg", action="append", default=None,
                    help="extra argv token appended to every eval command "
                         "(repeatable)")
+    p.add_argument("--use-best", action="store_true",
+                   help="evaluate each family's best-val export instead of "
+                        "its latest checkpoint — at small corpus scale the "
+                        "late-epoch val loss oscillates ~2x between saves, "
+                        "so latest-restore rankings carry a per-model "
+                        "checkpoint-draw noise term (RESULTS.md zoo section)")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--collect-only", action="store_true",
                    help="skip running; just aggregate existing CSVs")
