@@ -126,7 +126,8 @@ def bench_train(budget_s: float = 420.0) -> dict:
             from measure_train_mfu import measure
 
             # batch 256 = measured v5e MFU sweet spot (64: 21%, 128: 38%,
-            # 256: 48%, 512: 42% — RESULTS.md).
+            # 256: 42%, 512: 40%; remat/batch-1024 measured worse —
+            # RESULTS.md "Intensity-raising experiments").
             r = measure(batch_size=256, bf16=True, filters=32,
                         peak_tflops=197e12)
             out = {"train_samples_per_sec": r["train_samples_per_sec"],
