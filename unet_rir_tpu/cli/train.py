@@ -129,6 +129,17 @@ def build_argparser() -> argparse.ArgumentParser:
                         "is the model's declared RECON_WEIGHT (1.0 for most "
                         "families, 100000 for diffvae per diff_vae.py:68)")
     p.add_argument("--early-stop", type=int, default=None)
+    p.add_argument("--checkpoint-every", type=int, default=2,
+                   help="Orbax save cadence in epochs (reference saves every "
+                        "2, trainer.py keep-2/every-2). Each save fetches the "
+                        "full parameter tree device->host; over a slow/"
+                        "tunneled link raise this so fetch time does not "
+                        "dominate the epoch")
+    p.add_argument("--best-min-delta", type=float, default=0.0,
+                   help="min val-loss improvement before the best-val "
+                        "save_pretrained export refires (same device->host "
+                        "fetch cost as a checkpoint; 0 = export on every "
+                        "improvement, the reference BestCheckpoint default)")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler XLA trace of one extra warm-up "
                         "epoch here before training starts (open with "
@@ -257,7 +268,9 @@ def main(argv=None) -> int:
         lr_decay_start=args.lr_decay_start,
         early_stop_patience=args.early_stop,
         checkpoint_dir=os.path.join(results_dir, "ckpt"),
+        checkpoint_every=args.checkpoint_every,
         best_export_dir=os.path.join(results_dir, "best"),
+        best_min_delta=args.best_min_delta,
         remat=args.remat,
         accum_steps=args.accum_steps,
         seed=args.seed,
