@@ -224,7 +224,7 @@ def evaluate(
             cfg.gl_iters)
         sync(wav_pred)
         t2 = time.time()
-        batch_metrics = score_fn(assembled, spec_out, wav_pred, wav_true)
+        batch_metrics = score_fn(pred, assembled, spec_out, wav_pred, wav_true)
         sync(batch_metrics)
         t3 = time.time()
 
@@ -338,14 +338,14 @@ def _evaluate_fused(model, variables, corpus, cfg: EvalConfig,
     score_fn = _make_score(cfg, stft_shape)
 
     @jax.jit
-    def score_all(assembled, feats, corpus_wavs, wav_pred, idx_out):
+    def score_all(preds, assembled, feats, corpus_wavs, wav_pred, idx_out):
         def body(_, x):
-            a, w, io = x
+            p, a, w, io = x
             spec_out = jnp.take(feats, io, axis=0)
             wav_true = jnp.take(corpus_wavs, io, axis=0)
-            return 0, score_fn(a, spec_out, w, wav_true)
+            return 0, score_fn(p, a, spec_out, w, wav_true)
 
-        _, m = jax.lax.scan(body, 0, (assembled, wav_pred, idx_out))
+        _, m = jax.lax.scan(body, 0, (preds, assembled, wav_pred, idx_out))
         return m  # dict of (n_batches, B)
 
     idx_in_np, idx_out_np = gen.epoch_indices()  # shuffle=False: stable order
@@ -402,10 +402,11 @@ def _evaluate_fused(model, variables, corpus, cfg: EvalConfig,
         sync(wav_pred)
         t_post += max(0.0, time.time() - t1 - readback)
         if "score" not in comp:
-            comp["score"] = score_all.lower(assembled, feats, corpus_wavs,
-                                            wav_pred, io).compile()
+            comp["score"] = score_all.lower(preds, assembled, feats,
+                                            corpus_wavs, wav_pred, io).compile()
         t2 = time.time()
-        batch_metrics = comp["score"](assembled, feats, corpus_wavs, wav_pred, io)
+        batch_metrics = comp["score"](preds, assembled, feats, corpus_wavs,
+                                      wav_pred, io)
         sync(batch_metrics)
         t_score += max(0.0, time.time() - t2 - readback)
         metrics_parts.append({k: np.asarray(v) for k, v in batch_metrics.items()})
@@ -524,8 +525,18 @@ def _postprocess_only(pred, spec_in, algorithm, diff_gen,
 
 
 @jax.jit
-def _score(assembled, spec_out, wav_pred, wav_true):
+def _score(pred_raw, assembled, spec_out, wav_pred, wav_true):
     out = dict(metrics_mod.spectrogram_metrics(spec_out, assembled))
+    # Reference parity (rir_generation.py:197): the whole-spectrogram MSE
+    # column scores the RAW model output (`spec_generated`, whose phase
+    # channel in diff mode is the Δphase prediction) against the absolute
+    # target — NOT the diff-reassembled tensor. Every other column uses the
+    # assembled prediction (phase loss on the reassembled phase,
+    # rir_generation.py:190-196). In non-diff mode pred_raw IS assembled,
+    # so the override is a no-op there. Pinned by
+    # test_eval.TestDiffGenSemantics.
+    out["mse_spectrogram"] = jnp.mean(
+        jnp.square(spec_out - pred_raw), axis=(1, 2, 3))
     out.update(metrics_mod.waveform_metrics(wav_true, wav_pred))
     return out
 
@@ -533,14 +544,15 @@ def _score(assembled, spec_out, wav_pred, wav_true):
 def _make_score(cfg: "EvalConfig", stft_shape):
     """Reference metric suite, plus the north-star parity columns (LSD,
     gated LSD, T60) when cfg.parity_metrics — one jitted program either
-    way, shared by the loop and fused paths."""
+    way, shared by the loop and fused paths. Signature:
+    score(pred_raw, assembled, spec_out, wav_pred, wav_true)."""
     if not cfg.parity_metrics:
         return _score
     noise_comp, gate_db = cfg.t60_noise_comp, cfg.lsd_gate_db
 
     @jax.jit
-    def score(assembled, spec_out, wav_pred, wav_true):
-        out = dict(_score(assembled, spec_out, wav_pred, wav_true))
+    def score(pred_raw, assembled, spec_out, wav_pred, wav_true):
+        out = dict(_score(pred_raw, assembled, spec_out, wav_pred, wav_true))
         out.update(metrics_mod.parity_metrics(
             assembled, spec_out, wav_pred, wav_true, stft_shape=stft_shape,
             noise_comp=noise_comp, gate_db=gate_db))
