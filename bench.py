@@ -155,28 +155,65 @@ def _wait_for_healthy_tunnel(max_wait_s: float = 420.0) -> None:
         time.sleep(45)
 
 
-def main() -> None:
-    # The remote-TPU tunnel occasionally degrades; wait briefly for a
-    # healthy window, then retry at smaller batch sizes before giving up
-    # so a transient stall doesn't zero the round.
-    _wait_for_healthy_tunnel()
-    value = None
-    batch = BATCH
-    for attempt_batch, budget_s in ((BATCH, 420), (64, 300), (32, 240)):
+LADDER = ((BATCH, 420), (64, 300), (32, 240))
+
+
+def run_ladder(bench_fn=None, wait_fn=None, ladder=LADDER) -> dict:
+    """Attempt the headline batch, then descend the fallback ladder.
+
+    BENCH_r04 halved the round's headline purely on tunnel weather: a
+    degraded window blew the batch-128 budget and the ladder descended to
+    64 without ever re-checking whether the tunnel had recovered (VERDICT
+    r4 weak #2 / next #5). Policy now: after a FAILED headline attempt,
+    re-run the health wait and retry the headline ONCE before descending.
+    Returns {"value", "batch", "attempted_batches", "degraded_capture"};
+    degraded_capture is True whenever the recorded batch is not the
+    headline (the JSON then self-describes the fallback)."""
+    bench_fn = bench_fn or bench_tpu
+    wait_fn = wait_fn or _wait_for_healthy_tunnel
+    headline = ladder[0][0]
+    plan = list(ladder)
+    attempted: list[int] = []
+    retried_headline = False
+    i = 0
+    while i < len(plan):
+        attempt_batch, budget_s = plan[i]
+        attempted.append(attempt_batch)
         try:
             with _deadline(budget_s):
-                value = bench_tpu(attempt_batch)
-            batch = attempt_batch
-            break
+                value = bench_fn(attempt_batch)
+            return {"value": value, "batch": attempt_batch,
+                    "attempted_batches": attempted,
+                    "degraded_capture": attempt_batch != headline}
         except (Exception, _Deadline) as e:  # compile/tunnel error or hang
             print(f"# bench attempt at batch {attempt_batch} failed: {e!r}",
                   flush=True)
+            if attempt_batch == headline and not retried_headline:
+                retried_headline = True
+                print("# waiting for tunnel recovery, then retrying the "
+                      "headline batch once before descending", flush=True)
+                wait_fn()
+                plan.insert(i + 1, (attempt_batch, budget_s))
+        i += 1
+    return {"value": None, "batch": None, "attempted_batches": attempted,
+            "degraded_capture": True}
+
+
+def main() -> None:
+    # The remote-TPU tunnel occasionally degrades; wait briefly for a
+    # healthy window, then retry (headline once after recovery, then
+    # smaller batches) so a transient stall doesn't zero the round.
+    _wait_for_healthy_tunnel()
+    ladder_result = run_ladder()
+    value, batch = ladder_result["value"], ladder_result["batch"]
     if value is None:
         print(json.dumps({
             "metric": "RIR synthesis throughput (U-Net fwd + iSTFT fused)",
             "value": 0.0,
             "unit": "rirs/sec/chip",
             "vs_baseline": None,
+            "degraded_capture": True,
+            "attempted_batches": ladder_result["attempted_batches"],
         }))
         return
     vs = None
@@ -191,6 +228,11 @@ def main() -> None:
         "unit": "rirs/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
     }
+    if ladder_result["degraded_capture"]:
+        # A fallback batch was recorded: say so in the artifact instead of
+        # leaving the headline hostage to capture weather (VERDICT r4 #5).
+        record["degraded_capture"] = True
+        record["attempted_batches"] = ladder_result["attempted_batches"]
     # Only attempt the secondary train bench when the tunnel is healthy
     # right now (a trivial-op readback in seconds, not minutes): a degraded
     # transport would burn the remaining time for nothing.
