@@ -32,6 +32,10 @@ class TestRunZooQuality:
                         "T60 pred median (s)"])
             w.writerow(["Global", 32, "9.9", str(gated_lsd), str(t60_median),
                         str(t60_median * 2), "0.6", "0.55"])
+            # The floor-free aggregate row (report.py Reverberant): its T60
+            # columns must reach the ranking CSV (VERDICT r4 weak #6).
+            w.writerow(["Reverberant", 26, "9.7", str(gated_lsd),
+                        str(t60_median / 2), str(t60_median), "0.6", "0.58"])
         with open(os.path.join(gen, f"{name}_losses.csv"), "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(["room", "n samples", "MSE spectrogram", "MSE magnitude",
@@ -60,6 +64,9 @@ class TestRunZooQuality:
         assert rows[0]["lsd_gated_median_db"] == "9.5"
         assert rows[0]["mse_spectrogram"] == "0.002"
         assert rows[0]["misalignment_waveform_db"] == "-0.6"
+        # Reverberant (estimator-floor-free) T60 aggregate is collected.
+        assert rows[0]["t60_rev_rel_err_median"] == "0.2"
+        assert rows[0]["t60_rev_rel_err_mean"] == "0.4"
 
     def test_collect_tolerates_missing_model(self, tmp_path):
         """A failed zoo member (no reports) must not sink the aggregation —

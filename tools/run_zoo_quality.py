@@ -106,6 +106,16 @@ def collect(args) -> list[dict]:
                             "t60_rel_err_median": r["T60 rel err median"],
                             "t60_rel_err_mean": r["T60 rel err mean"],
                         })
+                    elif r["room"] == "Reverberant":
+                        # The honest T60 aggregate: excludes the rooms at
+                        # the Schroeder estimator's resolution floor whose
+                        # "error" measures the estimator, not the model
+                        # (report.py Reverberant row; VERDICT r4 weak #6 —
+                        # the Global mean is HemiAnechoic-floor-poisoned).
+                        row.update({
+                            "t60_rev_rel_err_median": r["T60 rel err median"],
+                            "t60_rev_rel_err_mean": r["T60 rel err mean"],
+                        })
         if os.path.exists(losses):
             with open(losses) as f:
                 for r in csv.DictReader(f):
@@ -167,7 +177,8 @@ def main(argv=None) -> int:
     out_csv = os.path.join(args.out, "zoo_quality.csv")
     keys = ["model", "mse_spectrogram", "misalignment_waveform_db",
             "lsd_median_db", "lsd_gated_median_db",
-            "t60_rel_err_median", "t60_rel_err_mean"]
+            "t60_rel_err_median", "t60_rel_err_mean",
+            "t60_rev_rel_err_median", "t60_rev_rel_err_mean"]
     os.makedirs(args.out, exist_ok=True)
     with open(out_csv, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=keys, extrasaction="ignore")
