@@ -175,6 +175,21 @@ class TestCheckpoint:
         assert mgr.maybe_save(2, state) is True
         mgr.close()
 
+    def test_cadence_zero_disables_periodic_saves(self, rng, tmp_path):
+        """save_every=0 means 'no periodic saves' — previously it raised
+        ZeroDivisionError at the first epoch boundary (ADVICE r4)."""
+        model = models.UNet(number_filters_0=4)
+        batch = _batch(rng)
+        opt = train.build_optimizer("adam", 1e-3)
+        state = train.TrainState.create(train.init_model(model, batch), opt)
+        mgr = train.CheckpointManager(str(tmp_path / "cad0"), save_every=0)
+        assert mgr.maybe_save(0, state) is False
+        assert mgr.maybe_save(2, state) is False
+        mgr.save(3, state)  # explicit (preempt/final) saves still work
+        _, step_idx = mgr.restore_latest(state)
+        assert step_idx == 3
+        mgr.close()
+
 
 class TestCallbacks:
     def test_early_stopping(self):

@@ -131,15 +131,21 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--early-stop", type=int, default=None)
     p.add_argument("--checkpoint-every", type=int, default=2,
                    help="Orbax save cadence in epochs (reference saves every "
-                        "2, trainer.py keep-2/every-2). Each save fetches the "
-                        "full parameter tree device->host; over a slow/"
-                        "tunneled link raise this so fetch time does not "
-                        "dominate the epoch")
+                        "2, trainer.py keep-2/every-2); 0 disables periodic "
+                        "saves (preempt/final saves still fire). Each save "
+                        "fetches the full parameter tree device->host; over "
+                        "a slow/tunneled link raise this so fetch time does "
+                        "not dominate the epoch")
     p.add_argument("--best-min-delta", type=float, default=0.0,
                    help="min val-loss improvement before the best-val "
                         "save_pretrained export refires (same device->host "
-                        "fetch cost as a checkpoint; 0 = export on every "
-                        "improvement, the reference BestCheckpoint default)")
+                        "fetch cost as a checkpoint). 0 matches the "
+                        "reference's save-on-every-improvement behavior (its "
+                        "ModelCheckpoint min_delta=1e-4 only feeds the "
+                        "early-stop improve flag, trainer.py:176-188, not "
+                        "the save); nonzero gates the export itself — a "
+                        "deliberate TPU-native divergence for throttling "
+                        "device->host fetches")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler XLA trace of one extra warm-up "
                         "epoch here before training starts (open with "

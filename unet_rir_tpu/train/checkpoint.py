@@ -33,8 +33,11 @@ class CheckpointManager:
         )
 
     def maybe_save(self, epoch: int, state: TrainState) -> bool:
-        """Save on the reference cadence (every `save_every` epochs)."""
-        if epoch % self.save_every != 0:
+        """Save on the reference cadence (every `save_every` epochs).
+        save_every <= 0 disables periodic saves entirely (preempt/final
+        saves still go through save()) — previously 0 raised
+        ZeroDivisionError at the first epoch boundary (ADVICE r4)."""
+        if self.save_every <= 0 or epoch % self.save_every != 0:
             return False
         self.save(epoch, state)
         return True
