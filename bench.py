@@ -125,10 +125,13 @@ def bench_train(budget_s: float = 420.0) -> dict:
             sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
             from measure_train_mfu import measure
 
-            # batch 256 = measured v5e MFU sweet spot (64: 21%, 128: 38%,
-            # 256: 42%, 512: 40%; remat/batch-1024 measured worse —
-            # RESULTS.md "Intensity-raising experiments").
-            r = measure(batch_size=256, bf16=True, filters=32,
+            # batch 512, not 256: the two cells are MFU-equivalent on v5e
+            # (512: 40.4% at 5.3% spread vs 256: 41.7% at 22.1% spread,
+            # best-of-3 — RESULTS.md round-4 table), and the official
+            # artifact should quote the reproducible cell, not the noisy
+            # one (VERDICT r4 weak #3). 64: 21%, 128: 38%; remat/batch-1024
+            # measured worse ("Intensity-raising experiments").
+            r = measure(batch_size=512, bf16=True, filters=32,
                         peak_tflops=197e12)
             out = {"train_samples_per_sec": r["train_samples_per_sec"],
                    "train_spread_pct": r.get("train_spread_pct")}
