@@ -270,6 +270,80 @@ class TestParityUtilities:
         m2, v2 = models.load_pretrained(str(tmp_path / "best"))
         assert isinstance(m2, models.UNet)
 
+    def test_async_export_matches_sync(self, rng, tmp_path):
+        """async_best_export hides the device->host fetch behind training
+        (latest-wins worker, trainer._AsyncExporter) — it must write byte-
+        equivalent weights to the synchronous path for the same run."""
+        from unet_rir_tpu import models
+        from unet_rir_tpu.data.corpus import Corpus
+        from unet_rir_tpu.data.pipeline import DataGenerator
+        from unet_rir_tpu.train.trainer import Trainer, TrainerConfig
+        import numpy as np
+        import os
+
+        corpus = Corpus.synthetic(n_per_room=6, max_order=2)
+        model = models.UNet(number_filters_0=2)
+
+        def run(async_export: bool, tag: str):
+            import random
+
+            # The per-epoch reshuffle draws from the global random module
+            # (reference keras-generator behavior) — pin it so the two
+            # runs see identical batch orders and the comparison isolates
+            # the export path.
+            random.seed(1234)
+            train_gen = DataGenerator(corpus, batch_size=4, partition="train")
+            val_gen = DataGenerator(corpus, batch_size=4, partition="val")
+            cfg = TrainerConfig(n_epochs=3, learning_rate=1e-3,
+                                lr_decay_start=None,
+                                async_best_export=async_export,
+                                best_export_dir=str(tmp_path / tag))
+            trainer = Trainer(model, train.LossConfig(), cfg)
+            state = trainer.init_state(train.init_model(model, train_gen[0]))
+            trainer.fit(state, train_gen, val_gen, log_fn=lambda s: None)
+            return os.path.join(str(tmp_path / tag), "weights.npz")
+
+        p_async, p_sync = run(True, "async"), run(False, "sync")
+        with np.load(p_async) as a, np.load(p_sync) as s:
+            assert sorted(a.files) == sorted(s.files)
+            for k in a.files:
+                np.testing.assert_array_equal(a[k], s[k], err_msg=k)
+
+    def test_async_exporter_latest_wins_and_raises(self):
+        """Unit pin of the worker semantics: a superseded payload may be
+        dropped, the newest is always written, and close() re-raises a
+        worker failure instead of losing it."""
+        import threading
+
+        from unet_rir_tpu.train.trainer import _AsyncExporter
+
+        written = []
+        gate = threading.Event()
+
+        def slow_write(payload):
+            gate.wait(5)
+            written.append(payload)
+
+        ex = _AsyncExporter(slow_write)
+        ex.submit(1)
+        ex.submit(2)  # supersedes 1 if 1 hasn't started; 2 must win either way
+        ex.submit(3)
+        gate.set()
+        ex.close()
+        assert written[-1] == 3
+
+        def bad_write(payload):
+            raise RuntimeError("disk full")
+
+        ex2 = _AsyncExporter(bad_write)
+        ex2.submit("x")
+        try:
+            ex2.close()
+        except RuntimeError as e:
+            assert "disk full" in str(e)
+        else:
+            raise AssertionError("worker error was swallowed")
+
 
 def test_remat_matches_plain(rng):
     """remat=True must not change the math, only the memory schedule."""

@@ -59,7 +59,13 @@ def save_pretrained(folder: str, model, variables: dict) -> None:
     config = {"model_class": type(model).__name__, "kwargs": kwargs}
     with open(os.path.join(folder, "config.json"), "w") as f:
         json.dump(config, f, indent=2, default=str)
-    np.savez(os.path.join(folder, "weights.npz"), **_flatten(variables))
+    # Atomic replace: exports are overwritten on every val improvement
+    # (and, round 5 on, from a background thread) — a reader or a crash
+    # mid-write must never observe a truncated weights.npz.
+    final = os.path.join(folder, "weights.npz")
+    tmp = final + ".tmp.npz"
+    np.savez(tmp, **_flatten(variables))
+    os.replace(tmp, final)
 
 
 def load_pretrained(folder: str):
